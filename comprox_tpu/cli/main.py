@@ -1,0 +1,114 @@
+"""Command-line frontends — comprox-compatible UX.
+
+Mirrors the reference frontends (/root/reference/src/roxmain/main.c:38-119
+etc.): mode ``e``/``d``, ``-b<MB>`` block size, ``-F`` content filters,
+``-p`` dictionary-precompress only, ``-q`` quiet, plus the same stderr
+stats the reference prints (src/main.c:318-329): encode speed, cost time,
+compression ratio, bits-per-byte.
+
+Three entry points, one per codec family (the reference builds three
+binaries from one core, Makefile:14-27):
+
+    python -m comprox_tpu.cli.main  crp ...   # LZP codec   (~comprop)
+    python -m comprox_tpu.cli.main  crx ...   # LZ77 codec  (~comprox)
+    python -m comprox_tpu.cli.main  crz ...   # ROLZ codec  (~comprolz)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from comprox_tpu.codec.block import BlockParams
+from comprox_tpu.codec.container import (
+    ContainerParams,
+    decode_stream,
+    encode_stream,
+)
+
+USAGE = """\
+usage: {prog} e|d <input> <output> [switches]
+switches:
+  -b<n>  block size in MB (default 16)
+  -l<n>  lanes per block (default 256)
+  -F     enable content filters
+  -p     dictionary precompress only
+  -q     quiet mode
+"""
+
+CODEC_BYTE = {"crp": b"P", "crx": b"X", "crz": b"R"}
+
+
+def parse_args(argv):
+    prog = argv[0] if argv else "crp"
+    args = [a for a in argv[1:] if not a.startswith("-")]
+    switches = [a for a in argv[1:] if a.startswith("-")]
+    opts = {"block_mb": 16, "lanes": 256, "filters": False, "quiet": False,
+            "precomp": False}
+    for s in switches:
+        if s.startswith("-b"):
+            opts["block_mb"] = float(s[2:])
+        elif s.startswith("-l"):
+            opts["lanes"] = int(s[2:])
+        elif s == "-F":
+            opts["filters"] = True
+        elif s == "-p":
+            opts["precomp"] = True
+        elif s == "-q":
+            opts["quiet"] = True
+        else:
+            raise SystemExit(USAGE.format(prog=prog))
+    if len(args) != 3 or args[0] not in ("e", "d"):
+        raise SystemExit(USAGE.format(prog=prog))
+    return prog, args[0], args[1], args[2], opts
+
+
+def make_params(codec_name: str, opts) -> ContainerParams:
+    lanes = opts["lanes"]
+    cap = int(opts["block_mb"] * 1048576)
+    steps = max(1, cap // lanes)
+    bp = BlockParams(lanes=lanes, steps=steps, match=codec_name != "crx0")
+    return ContainerParams(codec=CODEC_BYTE.get(codec_name, b"P"), block=bp)
+
+
+def log(quiet, msg):
+    if not quiet:
+        print(msg, file=sys.stderr)
+
+
+def run(codec_name: str, argv) -> int:
+    prog, mode, inp, outp, opts = parse_args([codec_name] + list(argv))
+    quiet = opts["quiet"]
+    t0 = time.time()
+    if mode == "e":
+        data = np.fromfile(inp, np.uint8)
+        cp = make_params(codec_name, opts)
+        with open(outp, "wb") as f:
+            csize = encode_stream(data, f, cp)
+        dt = max(time.time() - t0, 1e-9)
+        # same per-run stats as the reference driver (src/main.c:318-329)
+        log(quiet, f"encode-speed: {data.size / dt / 1e6:.2f} MB/s")
+        log(quiet, f"cost-time:    {dt:.3f} s")
+        if data.size:
+            log(quiet, f"compress-ratio: {csize / data.size:.4f}")
+            log(quiet, f"bits-per-byte:  {csize * 8 / data.size:.3f}")
+    else:
+        with open(inp, "rb") as f, open(outp, "wb") as g:
+            total = decode_stream(f, g)
+        dt = max(time.time() - t0, 1e-9)
+        log(quiet, f"decode-speed: {total / dt / 1e6:.2f} MB/s")
+        log(quiet, f"cost-time:    {dt:.3f} s")
+    return 0
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    if argv and argv[0] in CODEC_BYTE:
+        return run(argv[0], argv[1:])
+    return run("crp", argv)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,126 @@
+"""Batched adaptive frequency-table primitives.
+
+The reference keeps per-context frequency tables updated one symbol at a time
+(cr-model.c:55-77, cr-o2model.c:42-71).  Here S lanes advance in lock-step,
+so per step we have S (context, symbol) updates that must be applied
+*deterministically* — encode's modeling pass and decode replay the identical
+sequence.  Three mechanisms:
+
+1.  **scatter-add increments** — additive updates commute, so colliding lanes
+    (same context) combine correctly and deterministically.
+
+2.  **rescale-at-read** — the reference halves a table the moment its sum
+    crosses a cap; with batched adds the crossing happens *between* reads, so
+    we instead halve when a row is *read* over cap.  Both sides run the same
+    read path, so the table evolution stays bit-identical.  Up to
+    ``HALVE_ROUNDS`` halvings per read bound transient growth from S
+    simultaneous increments.
+
+3.  **winner dedup** — non-additive writes (halved rows, o3 predictor slots)
+    from colliding lanes are resolved by electing the minimum lane index per
+    target via a scatter-min on a scratch array; only winners write, and the
+    scratch is restored by re-scattering a sentinel at the same indices.
+
+All tables are int32: sums stay well below 2^31 even with transient growth,
+and signed arithmetic lets corrective updates (escape elimination,
+cr-ppm.c:137-139) go temporarily negative — readers clamp at >= 1.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from comprox_tpu.ops.rans_scalar import M
+
+HALVE_ROUNDS = 3
+_SENTINEL = jnp.int32(2**31 - 1)
+
+
+def make_table(n_ctx: int, width: int, init_row) -> jax.Array:
+    """Fresh [n_ctx, width] int32 table from a length-`width` init row."""
+    row = jnp.asarray(init_row, jnp.int32)
+    return jnp.broadcast_to(row, (n_ctx, row.shape[0])).copy()
+
+
+def halve_rows(rows, sticky_mask):
+    """One halving pass.  ``sticky_mask`` ([width] bool) marks slots that use
+    ceil-halving (stay >= 1, like cr-model.c:75 ``(f+1)/2``); other slots use
+    floor-halving and may reach zero (cr-o2model.c:55).  Negative slots (from
+    corrective updates) are clamped to 0 first."""
+    rows = jnp.maximum(rows, 0)
+    return jnp.where(sticky_mask, (rows + 1) >> 1, rows >> 1)
+
+
+def rescale_read(rows, cap: int, sticky_mask):
+    """Apply read-time rescaling.  Returns (rows', did_halve [S] bool)."""
+    did = jnp.zeros(rows.shape[:-1], bool)
+    for _ in range(HALVE_ROUNDS):
+        need = jnp.sum(rows, axis=-1) > cap
+        did = did | need
+        rows = jnp.where(need[..., None], halve_rows(rows, sticky_mask), rows)
+    return rows, did
+
+
+def elect_winners(scratch, idx, mask, lane_ids=None):
+    """Deterministically pick one lane per distinct ``idx`` among ``mask``.
+
+    ``scratch`` is a persistent int32 array (carried through the scan) whose
+    entries are all ``_SENTINEL`` between steps.  Returns (winner_mask,
+    restored_scratch).
+    """
+    s = idx.shape[0]
+    if lane_ids is None:
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).reshape(s)
+    cand = jnp.where(mask, lane_ids, _SENTINEL)
+    safe_idx = jnp.where(mask, idx, 0)
+    scratch2 = scratch.at[safe_idx].min(cand, mode="drop")
+    winners = mask & (scratch2[safe_idx] == lane_ids)
+    # restore sentinel so the scratch is clean for the next step
+    restored = scratch2.at[safe_idx].set(_SENTINEL, mode="drop")
+    return winners, restored
+
+
+def write_rows_dedup(table, ctx, rows, mask, scratch):
+    """Write whole rows back for (deduplicated) lanes flagged in ``mask``."""
+    winners, scratch = elect_winners(scratch, ctx, mask)
+    safe_ctx = jnp.where(winners, ctx, table.shape[0])  # OOB rows dropped
+    table = table.at[safe_ctx].set(rows, mode="drop")
+    return table, scratch
+
+
+def scatter_add(table, ctx, sym, delta, mask):
+    """table[ctx, sym] += delta where mask (masked lanes add 0)."""
+    d = jnp.where(mask, delta, 0).astype(table.dtype)
+    return table.at[ctx, sym].add(d, mode="drop")
+
+
+def exclusive_cumsum(rows):
+    c = jnp.cumsum(rows, axis=-1)
+    return c - rows
+
+
+def row_total(rows):
+    return jnp.sum(rows, axis=-1)
+
+
+def cum_frq_of(rows, cums, sym):
+    """(cum, frq) for a known symbol per lane."""
+    c = jnp.take_along_axis(cums, sym[..., None], axis=-1)[..., 0]
+    f = jnp.take_along_axis(rows, sym[..., None], axis=-1)[..., 0]
+    return c, f
+
+
+def find_symbol(rows, cums, target):
+    """Largest s with cums[s] <= target — the raw-domain decode search
+    (shape of cr-model.c:98-115 but vectorized: count-of-leq minus one)."""
+    le = (cums <= target[..., None]).astype(jnp.int32)
+    sym = jnp.sum(le, axis=-1) - 1
+    sym = jnp.clip(sym, 0, rows.shape[-1] - 1)
+    c, f = cum_frq_of(rows, cums, sym)
+    return sym, c, f
+
+
+def assert_valid_dist(rows):  # pragma: no cover - debug helper
+    tot = row_total(rows)
+    assert bool((tot > 0).all()) and bool((tot <= M).all())

@@ -1,0 +1,112 @@
+"""Lane-interleaved rANS primitives (vectorized, JAX/XLA).
+
+Bit-exact vectorization of :mod:`comprox_tpu.ops.rans_scalar` across S
+independent lanes.  Each lane carries a uint32 state; per coding step a lane
+emits (encode) or consumes (decode) at most one u16 word.  All lanes' words
+interleave into one compact stream in (step, lane) order — the TPU-native
+generalization of the reference's 4 side streams decoded by pthreads
+(/root/reference/src/roxmain/cr-coder.c:334-388): instead of 4 streams and 4
+threads, S streams and S VPU lanes.
+
+Masking: a lane that has no symbol this step codes the *identity event*
+``(c, f) = (0, M)``; algebraically ``x -> (x // M)*M + 0 + x % M = x`` with no
+renormalization possible, so inactive lanes are a no-op without any select on
+the state.
+
+All functions are pure and shape-polymorphic over the lane axis; they run
+under jit/scan/shard_map and on CPU for testing.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from comprox_tpu.ops.rans_scalar import M, M_BITS, MASK16, MASK_M, RANS_L
+
+_U32 = jnp.uint32
+
+
+def identity_cf(shape):
+    """The no-op coding event for masked lanes."""
+    return jnp.zeros(shape, _U32), jnp.full(shape, M, _U32)
+
+
+def norm_cf(cum, frq, tot):
+    """Vectorized query-time normalization of raw (cum, frq, tot) to M-scale.
+
+    Callers must guarantee tot <= M and frq >= 1 on active lanes (adaptive
+    models maintain that invariant by rescale-at-read).
+    """
+    cum = cum.astype(_U32)
+    frq = frq.astype(_U32)
+    tot = tot.astype(_U32)
+    c1 = (cum << M_BITS) // tot
+    c2 = ((cum + frq) << M_BITS) // tot
+    return c1, c2 - c1
+
+
+def select_cf(active, c, f):
+    """Replace (c, f) by the identity event on inactive lanes."""
+    ic, if_ = identity_cf(c.shape)
+    return jnp.where(active, c, ic), jnp.where(active, f, if_)
+
+
+def enc_put(x, c, f):
+    """One backward-encode step for every lane.
+
+    Returns (new_state, emit_mask, word).  ``word`` is meaningful only where
+    ``emit_mask`` is set.
+    """
+    x = x.astype(_U32)
+    # x >= f << (32 - M_BITS), written shift-right so f == M (the identity
+    # event) cannot overflow uint32: exact because f << 17 has zero low bits.
+    emit = (x >> (32 - M_BITS)) >= f
+    word = (x & MASK16).astype(jnp.uint16)
+    x = jnp.where(emit, x >> 16, x)
+    x = ((x // f) << M_BITS) + c + (x % f)
+    return x, emit, word
+
+
+def dec_slot(x):
+    return x & jnp.uint32(MASK_M)
+
+
+def dec_target(slot, tot):
+    """Raw-domain cumulative-search target for a decoded slot."""
+    tot = tot.astype(_U32)
+    return (slot * tot + tot - jnp.uint32(1)) >> M_BITS
+
+
+def dec_advance(x, c, f):
+    """State advance without renormalization.
+
+    Returns (x_tmp, need_word).  Where ``need_word`` is set the caller must
+    complete renormalization with :func:`dec_renorm` using the next stream
+    word for that lane.
+    """
+    x = x.astype(_U32)
+    x = f * (x >> M_BITS) + dec_slot(x) - c
+    return x, x < jnp.uint32(RANS_L)
+
+
+def dec_renorm(x_tmp, need_word, word):
+    """Feed one u16 word into every lane flagged by ``need_word``."""
+    fed = (x_tmp << 16) | word.astype(_U32)
+    return jnp.where(need_word, fed, x_tmp)
+
+
+def stream_positions(emit_mask_flat, base):
+    """Forward-order stream indices for a flat emission mask.
+
+    Given the flattened per-event emission mask in *decode order* and the
+    current read base, returns (indices, new_base): ``indices[i]`` is the
+    stream position of event i's word (meaningful only where the mask is
+    set).
+    """
+    inc = emit_mask_flat.astype(jnp.uint32)
+    excl = jnp.cumsum(inc) - inc
+    return base + excl, base + jnp.sum(inc)
+
+
+def init_states(n_lanes):
+    return jnp.full((n_lanes,), RANS_L, _U32)

@@ -1,0 +1,79 @@
+"""Round-trip tests for the block codec (LZP + PPM + interleaved rANS).
+
+The reference's only oracle is round-trip equality (SURVEY.md §4,
+benchmark/Makefile:40-46); we apply it across adversarial content classes
+and block geometries, plus compression-ratio sanity vs raw size.
+"""
+
+import numpy as np
+import pytest
+
+from comprox_tpu.codec.block import BlockParams, decode_block, encode_block
+
+SMALL = BlockParams(lanes=8, steps=64, match=True, min_len=6, window=32,
+                    o3_bits=14)
+SMALL_NOMATCH = BlockParams(lanes=8, steps=64, match=False, o3_bits=14)
+
+
+def roundtrip(data: np.ndarray, p: BlockParams) -> bytes:
+    payload = encode_block(data, p)
+    out = decode_block(payload, data.size, p)
+    np.testing.assert_array_equal(out, data)
+    return payload
+
+
+def corpus(name: str, n: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    if name == "random":
+        return rng.integers(0, 256, n, dtype=np.uint8)
+    if name == "zeros":
+        return np.zeros(n, np.uint8)
+    if name == "text":
+        words = [b"the ", b"quick ", b"brown ", b"fox ", b"jumps ", b"over "]
+        buf = b"".join(words[rng.integers(0, len(words))] for _ in range(n))
+        return np.frombuffer(buf[:n], np.uint8).copy()
+    if name == "period7":
+        pat = rng.integers(0, 256, 7, dtype=np.uint8)
+        return np.tile(pat, n // 7 + 1)[:n]
+    if name == "lowentropy":
+        return rng.choice(
+            np.arange(4, dtype=np.uint8), n, p=[0.85, 0.1, 0.04, 0.01]
+        ).astype(np.uint8)
+    raise KeyError(name)
+
+
+@pytest.mark.parametrize("name", ["random", "zeros", "text", "period7", "lowentropy"])
+def test_roundtrip_full_block(name):
+    roundtrip(corpus(name, SMALL.capacity, seed=1), SMALL)
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 63, 64, 65, 100, 511, 512])
+def test_roundtrip_partial_block(n):
+    roundtrip(corpus("text", n, seed=2), SMALL)
+
+
+def test_roundtrip_no_match_layer(self=None):
+    for name in ["random", "text", "zeros"]:
+        roundtrip(corpus(name, 300, seed=3), SMALL_NOMATCH)
+
+
+def test_ratio_text_beats_raw():
+    data = corpus("text", SMALL.capacity, seed=4)
+    payload = roundtrip(data, SMALL)
+    # 8 lanes * 4B state + 4B header = 36B overhead; text must still win
+    assert len(payload) < data.size
+
+
+def test_ratio_zeros_strongly_compressed():
+    data = corpus("zeros", SMALL.capacity, seed=5)
+    payload = roundtrip(data, SMALL)
+    assert len(payload) < data.size // 3
+
+
+def test_all_byte_values():
+    data = np.arange(512, dtype=np.uint32).astype(np.uint8)
+    roundtrip(data, SMALL)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
