@@ -86,7 +86,7 @@ def run(codec_name: str, argv) -> int:
         data = np.fromfile(inp, np.uint8)
         cp = make_params(codec_name, opts)
         with open(outp, "wb") as f:
-            csize = encode_stream(data, f, cp)
+            csize = encode_stream(data, f, cp, filters=opts["filters"])
         dt = max(time.time() - t0, 1e-9)
         # same per-run stats as the reference driver (src/main.c:318-329)
         log(quiet, f"encode-speed: {data.size / dt / 1e6:.2f} MB/s")

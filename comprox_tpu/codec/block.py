@@ -46,8 +46,10 @@ from comprox_tpu.models import tables as tb
 from comprox_tpu.ops import rans
 from comprox_tpu.ops.rans_scalar import RANS_L
 
-LZP_BITS = 20
-LZP_SIZE = 1 << LZP_BITS
+LZP4_BITS = 20  # ctx-4 table width        (ref ropmain: 2^20, cr-matcher.c:35-49)
+LZP8_BITS = 23  # ctx-8 table width        (ref ropmain: 2^24; 2^23 + verify)
+LZP4_SIZE = 1 << LZP4_BITS
+LZP8_SIZE = 1 << LZP8_BITS
 _i32 = jnp.int32
 _u32 = jnp.uint32
 
@@ -57,8 +59,8 @@ class BlockParams:
     lanes: int = 256  # S
     steps: int = 4096  # T: block capacity = lanes * steps bytes
     match: bool = True  # enable the LZP match layer
-    min_len: int = 6
-    window: int = 64  # encoder match-length cap (<= 255 + min_len)
+    min_len: int = 4  # (ref ropmain match_min=4, cr-matcher.h:36)
+    window: int = 250  # encoder match-length cap (<= 255 + min_len)
     o3_bits: int = 22  # o3 predictor hash width (ref: 22, cr-ppm.h:39)
 
     @property
@@ -81,10 +83,21 @@ class BlockParams:
         return 2 * self.capacity + 16
 
 
-def lzp_hash(ctx4):
-    """Multiplicative hash of the last 4 bytes -> LZP_BITS bucket."""
+def lzp_hash4(ctx4):
+    """Multiplicative hash of the last 4 bytes -> ctx-4 bucket."""
     v = ctx4.astype(_u32) * _u32(2654435761)
-    return ((v >> 12) & _u32(LZP_SIZE - 1)).astype(_i32)
+    return ((v >> 12) & _u32(LZP4_SIZE - 1)).astype(_i32)
+
+
+def lzp_hash8(ctx4, ctx4b):
+    """Hash of the last 8 bytes (two packed u32 words) -> ctx-8 bucket.
+
+    The high-precision table of the LZP ladder (ropmain/cr-matcher.c:59-73
+    picks the longest-context table first; we keep 8 -> 4)."""
+    v = ctx4.astype(_u32) * _u32(2654435761) ^ ctx4b.astype(_u32) * _u32(
+        0x9E3779B1
+    )
+    return ((v >> 10) & _u32(LZP8_SIZE - 1)).astype(_i32)
 
 
 def _lane_ids(s):
@@ -94,11 +107,62 @@ def _lane_ids(s):
 def _init_carry(p: BlockParams):
     return {
         "tables": ppm.init_tables(p.match, p.o3_bits),
-        "lzp": jnp.zeros((LZP_SIZE,), _i32),
-        "ctx4": jnp.zeros((p.lanes,), _u32),
+        "lzp2": jnp.zeros((1 << 16,), _i32),
+        "lzp4": jnp.zeros((LZP4_SIZE,), _i32),
+        "lzp8": jnp.zeros((LZP8_SIZE,), _i32),
+        "ctx4": jnp.zeros((p.lanes,), _u32),  # last 4 bytes, newest low
+        "ctx4b": jnp.zeros((p.lanes,), _u32),  # bytes -8..-5
         "copy_rem": jnp.zeros((p.lanes,), _i32),
         "copy_src": jnp.zeros((p.lanes,), _i32),
     }
+
+
+def _lzp_candidate(c, t, p: BlockParams, hist_flat):
+    """Deterministic match-source selection, identical on both sides:
+    prefer the ctx-8 table's entry when present, causally readable
+    (src % T < t, see the causality note in _encode_model_body) and
+    context-verified, else the ctx-4 entry.
+
+    Context verification (the reference's matcher_getpos check,
+    ropmain/cr-matcher.c:59-73): the 8 bytes preceding src must equal the
+    lane's own last 8 bytes, rejecting hash-collision mispredictions.
+    ``hist_flat`` is the byte history — the input on encode, the decoded
+    buffer on decode (equal by losslessness).  Verification only applies
+    when src % T >= 8, so all compared bytes are causally available to the
+    decoder; chunk-head sources are accepted unverified (rare).
+    """
+    s_lanes = c["ctx4"].shape[0]
+    src8 = c["lzp8"][lzp_hash8(c["ctx4"], c["ctx4b"])] - 1
+    src4 = c["lzp4"][lzp_hash4(c["ctx4"])] - 1
+    src2 = c["lzp2"][(c["ctx4"] & 0xFFFF).astype(_i32)] - 1
+    offs = jax.lax.broadcasted_iota(_i32, (s_lanes, 8), 1)
+    sh = (7 - offs) * 8  # newest byte (src-1) sits in ctx4 low bits
+    want_packed = jnp.where(offs < 4, c["ctx4b"][:, None], c["ctx4"][:, None])
+    want = (want_packed >> (sh % 32)) & 0xFF
+
+    def verified(src, k, t_min):
+        """Causal + content-verified candidate (compare k bytes before src
+        against the lane's own last k bytes).  Chunk-head sources
+        (src % T < k) can't be verified causally and are accepted as-is."""
+        ok = (src >= 0) & ((src % p.steps) < t) & (t >= t_min)
+        verifiable = ok & ((src % p.steps) >= k)
+        base = jnp.maximum(src - k, 0)
+        idx = jnp.clip(
+            base[:, None] + offs[:, 8 - k :] - (8 - k),
+            0,
+            hist_flat.shape[0] - 1,
+        )
+        got = hist_flat[idx]
+        eq = jnp.all(got.astype(_u32) == want[:, 8 - k :], axis=1)
+        return ok & (eq | ~verifiable)
+
+    ok8 = verified(src8, 8, 8)
+    ok4 = verified(src4, 4, 4)
+    # ctx2 is an exact 2-byte index (no hash, no verify needed;
+    # ropmain/cr-matcher.c M_hash2_ is the identity too)
+    ok2 = (src2 >= 0) & ((src2 % p.steps) < t) & (t >= 2)
+    src = jnp.where(ok8, src8, jnp.where(ok4, src4, src2))
+    return src, ok8 | ok4 | ok2
 
 
 def _common_reads(c, t, n, p: BlockParams):
@@ -127,16 +191,30 @@ def _post_step(c, t, n, p, pos, active, byte, is_match, src, sym_len):
     )
     new_src = jnp.where(is_match, src + 1, c["copy_src"] + 1)
     ctx4n = jnp.where(active, (c["ctx4"] << 8) | byte.astype(_u32), c["ctx4"])
+    ctx4bn = jnp.where(
+        active, (c["ctx4b"] << 8) | (c["ctx4"] >> 24), c["ctx4b"]
+    )
     # insert context-for-position pos+1 -> pos+1 (stored +1; scatter-max so
     # the most recent position wins collisions deterministically)
-    ins = active & (t >= 3) & (t != p.steps - 1) & (pos + 1 < n)
-    h_next = lzp_hash(ctx4n)
-    safe_h = jnp.where(ins, h_next, LZP_SIZE)
-    lzp = c["lzp"].at[safe_h].max(pos + 2, mode="drop")
+    ins2 = active & (t >= 1) & (t != p.steps - 1) & (pos + 1 < n)
+    ins4 = ins2 & (t >= 3)
+    ins8 = ins4 & (t >= 7)
+    lzp2 = c["lzp2"].at[
+        jnp.where(ins2, (ctx4n & 0xFFFF).astype(_i32), 1 << 16)
+    ].max(pos + 2, mode="drop")
+    lzp4 = c["lzp4"].at[
+        jnp.where(ins4, lzp_hash4(ctx4n), LZP4_SIZE)
+    ].max(pos + 2, mode="drop")
+    lzp8 = c["lzp8"].at[
+        jnp.where(ins8, lzp_hash8(ctx4n, ctx4bn), LZP8_SIZE)
+    ].max(pos + 2, mode="drop")
     return {
         **c,
-        "lzp": lzp,
+        "lzp2": lzp2,
+        "lzp4": lzp4,
+        "lzp8": lzp8,
         "ctx4": ctx4n,
+        "ctx4b": ctx4bn,
         "copy_rem": new_rem,
         "copy_src": new_src,
     }
@@ -154,17 +232,17 @@ def _encode_model_body(p: BlockParams, inp, inp_flat, n, c, t):
     byte = jax.lax.dynamic_slice(inp, (0, t), (p.lanes, 1)).reshape(p.lanes)
     byte = byte.astype(_i32)
 
-    # ---- match decision (encoder policy; free choice, decoder just obeys)
+    # ---- match decision (encoder length policy is free; the SOURCE comes
+    # from the shared deterministic rule the decoder replays)
     if p.match:
-        h4 = lzp_hash(c["ctx4"])
-        src = c["lzp"][h4] - 1
-        # Causality: an entry inserted at step s names a position decoded at
-        # step s+1; a reader at step t gathers BEFORE this step's column
-        # write, so the source must satisfy decode-step(src) = src % T < t
-        # (this also rejects self-matches).  Then byte src+k is decoded at
-        # step (src % T)+k (or earlier if it wraps into the next chunk),
-        # strictly before it is copied at step t+k.
-        valid = coding & (src >= 0) & (t >= 4) & ((src % p.steps) < t)
+        # Causality (enforced in _lzp_candidate): an entry inserted at step
+        # s names a position decoded at step s+1; a reader at step t gathers
+        # BEFORE this step's column write, so the source must satisfy
+        # decode-step(src) = src % T < t (this also rejects self-matches).
+        # Then byte src+k is decoded at step (src % T)+k (or earlier if it
+        # wraps into the next chunk), strictly before it is copied at t+k.
+        src, ok = _lzp_candidate(c, t, p, inp_flat)
+        valid = coding & ok
         # compare windows via flat clamped gathers (may cross chunk ends)
         offs = jax.lax.broadcasted_iota(_i32, (p.lanes, p.window), 1)
         cur_idx = jnp.clip(pos[:, None] + offs, 0, inp_flat.shape[0] - 1)
@@ -239,6 +317,8 @@ def _encode_model_body(p: BlockParams, inp, inp_flat, n, c, t):
         cb.astype(jnp.uint16),
         fb.astype(jnp.uint16),
         act_b,
+        sym_a.astype(jnp.int16),
+        jnp.where(is_match, length, 0).astype(jnp.int16),
     )
     return c, out
 
@@ -251,7 +331,7 @@ def _encode_passes(p: BlockParams, inp, n):
     carry = _init_carry(p)
     body = functools.partial(_encode_model_body, p, inp, inp_flat, n)
     carry, ev = jax.lax.scan(body, carry, jnp.arange(p.steps, dtype=_i32))
-    ca, fa, act_a, cb, fb, act_b = ev
+    ca, fa, act_a, cb, fb, act_b, sym_a, mlen = ev
 
     def rans_body(x, e):
         ca_t, fa_t, aa_t, cb_t, fb_t, ab_t = e
@@ -273,7 +353,7 @@ def _encode_passes(p: BlockParams, inp, n):
     x, (emit, words) = jax.lax.scan(
         rans_body, x, (ca, fa, act_a, cb, fb, act_b), reverse=True
     )
-    return x, emit, words
+    return x, emit, words, (ca, fa, act_a, cb, fb, act_b, sym_a, mlen)
 
 
 # --------------------------------------------------------------------------
@@ -333,8 +413,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     x = rans.dec_renorm(x_tmp, need, w)
 
     # ---- resolve the byte
-    h4 = lzp_hash(c["ctx4"])
-    src = c["lzp"][h4] - 1
+    src, _ok = _lzp_candidate(c, t, p, out_flat)
     gsrc = jnp.clip(jnp.where(is_match, src, c["copy_src"]), 0, out_flat.shape[0] - 1)
     copied = out_flat[gsrc].astype(_i32)
     byte = jnp.where(is_lit, sym_a, 0)
@@ -383,7 +462,7 @@ def encode_block(data: np.ndarray, p: BlockParams) -> bytes:
     assert 0 < n <= p.capacity
     buf = np.zeros((p.lanes, p.steps), np.uint8)
     buf.reshape(-1)[:n] = data
-    states, emit, words = _encode_passes(p, jnp.asarray(buf), jnp.int32(n))
+    states, emit, words, _ = _encode_passes(p, jnp.asarray(buf), jnp.int32(n))
     emit_np = np.asarray(emit)  # [T, 2, S] in (step, slot, lane) order
     words_np = np.asarray(words)
     stream = words_np[emit_np]  # C-order compaction == decode read order
@@ -394,6 +473,45 @@ def encode_block(data: np.ndarray, p: BlockParams) -> bytes:
         + states_np.astype("<u4").tobytes()
         + stream.astype("<u2").tobytes()
     )
+
+
+def encode_block_stats(data: np.ndarray, p: BlockParams) -> dict:
+    """Encode + per-event-class bit accounting (ratio diagnostics)."""
+    n = int(data.size)
+    buf = np.zeros((p.lanes, p.steps), np.uint8)
+    buf.reshape(-1)[:n] = data
+    _, emit, words, dbg = _encode_passes(p, jnp.asarray(buf), jnp.int32(n))
+    ca, fa, act_a, cb, fb, act_b, sym_a, mlen = map(np.asarray, dbg)
+    act_a = act_a.astype(bool)
+    act_b = act_b.astype(bool)
+    bits_a = np.where(act_a, 15.0 - np.log2(np.maximum(fa, 1)), 0.0)
+    bits_b = np.where(act_b, 15.0 - np.log2(np.maximum(fb, 1)), 0.0)
+    is_lit = act_a & (sym_a < 256)
+    is_hit = act_a & (sym_a == ppm.SYM_HIT)
+    is_esc = act_a & (sym_a == ppm.SYM_ESC)
+    is_mat = act_a & (sym_a == ppm.SYM_MATCH)
+    mbytes = int(mlen.sum())
+    stats = {
+        "n": n,
+        "coded_steps": int(act_a.sum()),
+        "literals": int(is_lit.sum()),
+        "o3_hits": int(is_hit.sum()),
+        "escapes": int(is_esc.sum()),
+        "matches": int(is_mat.sum()),
+        "match_bytes": mbytes,
+        "avg_match_len": mbytes / max(int(is_mat.sum()), 1),
+        "bits_lit": float(bits_a[is_lit].sum()),
+        "bits_hit": float(bits_a[is_hit].sum()),
+        "bits_esc_flag": float(bits_a[is_esc].sum()),
+        "bits_esc_lit": float(bits_b[act_b & is_esc].sum()),
+        "bits_match_flag": float(bits_a[is_mat].sum()),
+        "bits_match_len": float(bits_b[act_b & is_mat].sum()),
+        "stream_words": int(np.asarray(emit).sum()),
+    }
+    total_bits = sum(v for k, v in stats.items() if k.startswith("bits_"))
+    stats["model_bpb"] = total_bits / max(n, 1)
+    stats["real_bpb"] = (stats["stream_words"] * 16 + p.lanes * 32) / max(n, 1)
+    return stats
 
 
 def decode_block(payload: bytes, n: int, p: BlockParams) -> np.ndarray:

@@ -52,9 +52,20 @@ class ContainerParams:
 
 
 def write_header(f: BinaryIO, cp: ContainerParams, flags: int = 0) -> None:
+    b = cp.block
     f.write(MAGIC)
     f.write(cp.codec)
-    f.write(struct.pack("<BHI", flags, cp.block.lanes, cp.block.steps))
+    f.write(
+        struct.pack(
+            "<BHIBBB",
+            flags,
+            b.lanes,
+            b.steps,
+            b.o3_bits,
+            b.min_len,
+            1 if b.match else 0,
+        )
+    )
 
 
 def read_header(f: BinaryIO) -> tuple[ContainerParams, int]:
@@ -62,8 +73,16 @@ def read_header(f: BinaryIO) -> tuple[ContainerParams, int]:
     if magic != MAGIC:
         raise ValueError(f"bad magic {magic!r}: not a comprox_tpu archive")
     codec = f.read(1)
-    flags, lanes, steps = struct.unpack("<BHI", f.read(7))
-    bp = BlockParams(lanes=lanes, steps=steps, match=codec != b"0")
+    flags, lanes, steps, o3_bits, min_len, match = struct.unpack(
+        "<BHIBBB", f.read(10)
+    )
+    bp = BlockParams(
+        lanes=lanes,
+        steps=steps,
+        match=bool(match),
+        min_len=min_len,
+        o3_bits=o3_bits,
+    )
     return ContainerParams(codec=codec, block=bp), flags
 
 
@@ -78,18 +97,30 @@ def encode_stream(
     cp: ContainerParams,
     encode_fn: Optional[Callable] = None,
     progress: Optional[Callable[[int, int], None]] = None,
+    filters: bool = False,
 ) -> int:
     """Encode ``src`` into ``dst``; returns compressed byte count."""
     encode_fn = encode_fn or (lambda blk: encode_block(blk, cp.block))
-    write_header(dst, cp)
-    written = 16
+    write_header(dst, cp, flags=F_FILTER if filters else 0)
+    written = 19
     total = src.size
     done = 0
-    for blk in iter_blocks(src, cp.block.capacity):
-        payload = encode_fn(blk)
+    for raw_blk in iter_blocks(src, cp.block.capacity):
+        blk = raw_blk
         bflags = 0
-        if len(payload) >= blk.size:  # stored fallback (cr-coder.c:273-275)
-            payload, bflags = blk.tobytes(), BF_STORED
+        prefix = b""
+        if filters:
+            from comprox_tpu.ops import filters as flt
+
+            spans = flt.detect_spans(blk)
+            if spans:
+                blk = flt.apply_spans(blk, spans, encode=True)
+                prefix = flt.pack_spans(spans)
+                bflags |= BF_FILTERED
+        payload = prefix + encode_fn(blk)
+        if len(payload) >= raw_blk.size:  # stored fallback, raw unfiltered
+            payload, bflags = raw_blk.tobytes(), BF_STORED
+        blk = raw_blk
         dst.write(struct.pack("<IIB", blk.size, len(payload), bflags))
         dst.write(payload)
         written += 9 + len(payload)
@@ -122,10 +153,20 @@ def decode_stream(
         payload = src.read(blen)
         if len(payload) < blen:
             raise ValueError("truncated archive: short block payload")
+        spans = []
+        if bflags & BF_FILTERED and not bflags & BF_STORED:
+            from comprox_tpu.ops import filters as flt
+
+            spans, off = flt.unpack_spans(payload)
+            payload = payload[off:]
         if bflags & BF_STORED:
             out = np.frombuffer(payload, np.uint8)
         else:
             out = decode_fn(payload, raw_n)
+        if spans:
+            from comprox_tpu.ops import filters as flt
+
+            out = flt.apply_spans(out, spans, encode=False)
         dst.write(out.tobytes())
         total += raw_n
         if progress:

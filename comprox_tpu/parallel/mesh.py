@@ -53,17 +53,16 @@ def _encode_blocks_sharded(p: BlockParams, mesh: Mesh, inp, n):
 
     def per_device(inp_loc, n_loc):
         def one(blk, nn):
-            return _encode_passes(p, blk, nn)
+            return _encode_passes(p, blk, nn)[:3]
 
         return jax.vmap(one)(inp_loc, n_loc)
 
-    from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
+    fn = jax.shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P("dp"), P("dp")),
         out_specs=(P("dp"), P("dp"), P("dp")),
+        check_vma=False,  # scan carries init from replicated constants
     )
     return fn(inp, n)
 
@@ -79,13 +78,12 @@ def _decode_blocks_sharded(p: BlockParams, mesh: Mesh, states, streams, n):
 
         return jax.vmap(one)(st, sm, nn)
 
-    from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
+    fn = jax.shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P("dp"), P("dp"), P("dp")),
         out_specs=(P("dp"), P("dp"), P("dp")),
+        check_vma=False,  # scan carries init from replicated constants
     )
     return fn(states, streams, n)
 

@@ -1,0 +1,109 @@
+"""Lazy-built native runtime library (ctypes).
+
+Compiles csrc/native.c once per machine into a cached shared object and
+exposes typed wrappers.  Every wrapper has a pure-Python fallback so the
+framework works without a toolchain; the native path is the production one
+(the reference's runtime is C for the same reasons — sequential host loops).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parents[2] / "csrc" / "native.c"
+_lib: Optional[ctypes.CDLL] = None
+_lib_tried = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    try:
+        src = _SRC.read_bytes()
+    except OSError:
+        return None
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache = Path(tempfile.gettempdir()) / f"comprox_tpu_native_{tag}.so"
+    if not cache.exists():
+        tmp = cache.with_suffix(".build.so")
+        cmd = ["cc", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(tmp)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (subprocess.SubprocessError, OSError):
+            return None
+        os.replace(tmp, cache)
+    try:
+        lib = ctypes.CDLL(str(cache))
+    except OSError:
+        return None
+    lib.e8e9_transform.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
+    ]
+    lib.e8e9_transform.restype = None
+    lib.e8e9_active_positions.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
+    lib.e8e9_active_positions.restype = ctypes.c_int64
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_tried
+    if not _lib_tried:
+        _lib_tried = True
+        _lib = _build()
+    return _lib
+
+
+def e8e9_transform(
+    buf: np.ndarray, vbase: int, vsize: int, encode: bool
+) -> None:
+    """In-place E8/E9 rel32<->abs32 transform (see csrc/native.c)."""
+    assert buf.dtype == np.uint8 and buf.flags.c_contiguous
+    lib = get_lib()
+    en_de = 0 if encode else 1
+    if lib is not None:
+        lib.e8e9_transform(
+            buf.ctypes.data, buf.size, vbase, vsize, en_de
+        )
+        return
+    _e8e9_python(buf, vbase, vsize, en_de)
+
+
+def _e8e9_python(buf: np.ndarray, vbase: int, vsize: int, en_de: int) -> None:
+    i, n = 0, buf.size
+    if n < 9:
+        return
+    mem = memoryview(buf)
+    while i < n - 8:
+        if (mem[i] & 0xFE) == 0xE8:
+            i += 1
+            op = int.from_bytes(mem[i : i + 4], "little", signed=True)
+            here = vbase + i
+            if en_de == 0:
+                if -here <= op < vsize - here:
+                    op = (op + here + 2**31) % 2**32 - 2**31
+                elif 0 < op < vsize:
+                    op = op - vsize
+            else:
+                if op < 0:
+                    if op + here >= 0:
+                        op = (op + vsize + 2**31) % 2**32 - 2**31
+                elif op < vsize:
+                    op = (op - here + 2**31) % 2**32 - 2**31
+            mem[i : i + 4] = op.to_bytes(4, "little", signed=True)
+            i += 4
+        else:
+            i += 1
