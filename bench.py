@@ -57,6 +57,9 @@ def main() -> None:
     lanes = int(os.environ.get("BENCH_LANES", "512"))
     block_mb = float(os.environ.get("BENCH_BLOCK", "2"))
 
+    from comprox_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from comprox_tpu.codec.block import BlockParams
     from comprox_tpu.codec.container import ContainerParams
     from comprox_tpu.codec import container

@@ -69,7 +69,13 @@ def make_params(codec_name: str, opts) -> ContainerParams:
     lanes = opts["lanes"]
     cap = int(opts["block_mb"] * 1048576)
     steps = max(1, cap // lanes)
-    bp = BlockParams(lanes=lanes, steps=steps, match=codec_name != "crx0")
+    mode = "R" if codec_name == "crz" else "P"
+    bp = BlockParams(
+        lanes=lanes,
+        steps=steps,
+        mode=mode,
+        min_len=5 if mode == "R" else 4,  # ref: rolz min 5, lzp min 4
+    )
     return ContainerParams(codec=CODEC_BYTE.get(codec_name, b"P"), block=bp)
 
 
@@ -79,6 +85,9 @@ def log(quiet, msg):
 
 
 def run(codec_name: str, argv) -> int:
+    from comprox_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     prog, mode, inp, outp, opts = parse_args([codec_name] + list(argv))
     quiet = opts["quiet"]
     t0 = time.time()

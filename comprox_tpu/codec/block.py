@@ -1,4 +1,4 @@
-"""Block codec: S lock-step lanes over one block, LZP match + PPM + rANS.
+"""Block codec: S lock-step lanes over one block — match layer + PPM + rANS.
 
 TPU re-architecture of the reference codec cores (/root/reference/src/
 {rox,rolz,rop}main/cr-coder.c).  The reference runs ONE sequential symbol
@@ -9,17 +9,32 @@ lock-step:
     position(lane, step) = lane * T + step,   T = ceil(n / S)
 
 Every per-symbol structure becomes a vector over lanes: model contexts, rANS
-states, match/copy state.  Model tables and the LZP hash table are *shared*
+states, match/copy state.  Model tables and the match tables are *shared*
 across lanes and updated deterministically once per step (models/tables.py),
 so the models see the whole block's statistics — lanes cost no cold-start.
 
-Match layer (codec 'P' — the LZP form, ropmain/cr-matcher.c re-expressed):
-a shared 2^20-entry hash table maps hash(previous 4 bytes) -> position+1.
-A lane signals a match with A-symbol 258, codes the length as a B event, and
-then *copies one byte per step* for L-1 further steps.  Copy causality holds
-because a table entry inserted at step s is only ever read at steps > s, and
-byte k of its source is decoded at step <= s+k < t+k (see SURVEY.md §7 hard
-part 4: this design resolves decode-side match copies without a serial loop).
+Two match layers (selected by ``mode``):
+
+``mode='P'`` — LZP (ropmain/cr-matcher.c re-expressed): a ladder of shared
+hash tables (exact ctx-2, byte-verified hashed ctx-4/ctx-8) maps recent
+contexts to their positions.  A lane signals a match with A-symbol 258 and
+codes only the length — the source is implied by the shared deterministic
+table rule.
+
+``mode='R'`` — ROLZ (rolzmain/cr-matcher.c re-expressed): a shared table of
+context buckets, each holding the D most recent positions seen after that
+3-byte context plus a 4-byte prefix cache.  A match codes (bucket index,
+length); because the index is *coded*, the encoder's candidate selection is
+pure policy — only the bucket state evolution must match the decoder, which
+it does because both sides run the same insert rule.  Entries are inserted
+3 positions late so the 4-byte prefix is known to the decoder, which also
+makes every entry automatically causal (entry position q has decode-step
+q % T = t_insert - 3 < any reader's step).
+
+Matched lanes then *copy one byte per step* for L-1 further steps.  Copy
+causality for 'P' mode requires src % T < t (checked in _lzp_candidate);
+see SURVEY.md §7 hard part 4 — this design resolves decode-side match
+copies without a serial loop.
 
 Encode is two passes (rANS is LIFO): pass 1 = forward modeling scan emitting
 normalized (c, f) events per (step, slot, lane); pass 2 = backward rANS scan
@@ -27,9 +42,10 @@ emitting stream words.  Decode is one forward scan fusing modeling + rANS.
 Both sides share the model read/update functions, which is what makes the
 table evolution bit-identical.
 
-Events per step per lane: slot A (PPM symbol: literal/o3-hit/escape/match
-flag) and slot B (escaped-literal in o1, or match length).  Stream word
-order = (step, slot, lane), ascending.
+Events per step per lane, in stream order (step, slot, lane) ascending:
+  slot A — PPM symbol: literal 0..255 / o3-hit 256 / escape 257 / match 258
+  slot B — escaped literal in o1, or ROLZ bucket index
+  slot C — match length
 """
 
 from __future__ import annotations
@@ -58,10 +74,13 @@ _u32 = jnp.uint32
 class BlockParams:
     lanes: int = 256  # S
     steps: int = 4096  # T: block capacity = lanes * steps bytes
-    match: bool = True  # enable the LZP match layer
-    min_len: int = 4  # (ref ropmain match_min=4, cr-matcher.h:36)
+    mode: str = "P"  # 'P' = LZP, 'R' = ROLZ
+    match: bool = True  # enable the match layer at all
+    min_len: int = 4  # (ref ropmain match_min=4; rolzmain match_min=5)
     window: int = 250  # encoder match-length cap (<= 255 + min_len)
     o3_bits: int = 22  # o3 predictor hash width (ref: 22, cr-ppm.h:39)
+    rolz_bits: int = 18  # ROLZ bucket count    (ref: 2^18, rolz cr-matcher.h)
+    rolz_depth: int = 64  # positions per bucket (ref: 64)
 
     @property
     def capacity(self) -> int:
@@ -77,10 +96,10 @@ class BlockParams:
 
     @property
     def stream_pad_max(self) -> int:
-        # absolute worst case: 2 events/byte, <=1 word/event (for raw
+        # absolute worst case: 3 events/byte, <=1 word/event (for raw
         # decode_block calls on adversarial payloads, bypassing the
         # container's stored fallback)
-        return 2 * self.capacity + 16
+        return 3 * self.capacity + 16
 
 
 def lzp_hash4(ctx4):
@@ -93,42 +112,71 @@ def lzp_hash8(ctx4, ctx4b):
     """Hash of the last 8 bytes (two packed u32 words) -> ctx-8 bucket.
 
     The high-precision table of the LZP ladder (ropmain/cr-matcher.c:59-73
-    picks the longest-context table first; we keep 8 -> 4)."""
+    picks the longest-context table first; we keep 8 -> 4 -> 2)."""
     v = ctx4.astype(_u32) * _u32(2654435761) ^ ctx4b.astype(_u32) * _u32(
         0x9E3779B1
     )
     return ((v >> 10) & _u32(LZP8_SIZE - 1)).astype(_i32)
 
 
+def rolz_hash3(key3, bits: int):
+    """3-byte context -> ROLZ bucket (rolzmain hashes the last 3 bytes
+    into 2^18 buckets, cr-matcher.c:38-42)."""
+    v = key3.astype(_u32) * _u32(2654435761)
+    return ((v >> (32 - bits)) & _u32((1 << bits) - 1)).astype(_i32)
+
+
 def _lane_ids(s):
     return jax.lax.broadcasted_iota(_i32, (s, 1), 0).reshape(s)
 
 
+def _byteswap32(v):
+    v = v.astype(_u32)
+    return (
+        ((v & 0xFF) << 24)
+        | ((v & 0xFF00) << 8)
+        | ((v >> 8) & 0xFF00)
+        | (v >> 24)
+    )
+
+
 def _init_carry(p: BlockParams):
-    return {
+    c = {
         "tables": ppm.init_tables(p.match, p.o3_bits),
-        "lzp2": jnp.zeros((1 << 16,), _i32),
-        "lzp4": jnp.zeros((LZP4_SIZE,), _i32),
-        "lzp8": jnp.zeros((LZP8_SIZE,), _i32),
         "ctx4": jnp.zeros((p.lanes,), _u32),  # last 4 bytes, newest low
         "ctx4b": jnp.zeros((p.lanes,), _u32),  # bytes -8..-5
         "copy_rem": jnp.zeros((p.lanes,), _i32),
         "copy_src": jnp.zeros((p.lanes,), _i32),
     }
+    if p.mode == "R":
+        nb = 1 << p.rolz_bits
+        c["rolz_pos"] = jnp.zeros((nb, p.rolz_depth), _i32)
+        c["rolz_nx4"] = jnp.zeros((nb, p.rolz_depth), _u32)
+        c["rolz_w"] = jnp.zeros((nb,), _i32)
+    else:
+        c["lzp2"] = jnp.zeros((1 << 16,), _i32)
+        c["lzp4"] = jnp.zeros((LZP4_SIZE,), _i32)
+        c["lzp8"] = jnp.zeros((LZP8_SIZE,), _i32)
+    return c
+
+
+# --------------------------------------------------------------------------
+# LZP candidate rule (shared: both sides must compute the same source)
+# --------------------------------------------------------------------------
 
 
 def _lzp_candidate(c, t, p: BlockParams, hist_flat):
     """Deterministic match-source selection, identical on both sides:
     prefer the ctx-8 table's entry when present, causally readable
     (src % T < t, see the causality note in _encode_model_body) and
-    context-verified, else the ctx-4 entry.
+    context-verified, then ctx-4, then the exact ctx-2 entry.
 
     Context verification (the reference's matcher_getpos check,
-    ropmain/cr-matcher.c:59-73): the 8 bytes preceding src must equal the
-    lane's own last 8 bytes, rejecting hash-collision mispredictions.
+    ropmain/cr-matcher.c:59-73): the k bytes preceding src must equal the
+    lane's own last k bytes, rejecting hash-collision mispredictions.
     ``hist_flat`` is the byte history — the input on encode, the decoded
     buffer on decode (equal by losslessness).  Verification only applies
-    when src % T >= 8, so all compared bytes are causally available to the
+    when src % T >= k, so all compared bytes are causally available to the
     decoder; chunk-head sources are accepted unverified (rare).
     """
     s_lanes = c["ctx4"].shape[0]
@@ -141,9 +189,6 @@ def _lzp_candidate(c, t, p: BlockParams, hist_flat):
     want = (want_packed >> (sh % 32)) & 0xFF
 
     def verified(src, k, t_min):
-        """Causal + content-verified candidate (compare k bytes before src
-        against the lane's own last k bytes).  Chunk-head sources
-        (src % T < k) can't be verified causally and are accepted as-is."""
         ok = (src >= 0) & ((src % p.steps) < t) & (t >= t_min)
         verifiable = ok & ((src % p.steps) >= k)
         base = jnp.maximum(src - k, 0)
@@ -158,11 +203,38 @@ def _lzp_candidate(c, t, p: BlockParams, hist_flat):
 
     ok8 = verified(src8, 8, 8)
     ok4 = verified(src4, 4, 4)
-    # ctx2 is an exact 2-byte index (no hash, no verify needed;
-    # ropmain/cr-matcher.c M_hash2_ is the identity too)
+    # ctx2 is an exact 2-byte index (no hash, no verify needed)
     ok2 = (src2 >= 0) & ((src2 % p.steps) < t) & (t >= 2)
     src = jnp.where(ok8, src8, jnp.where(ok4, src4, src2))
     return src, ok8 | ok4 | ok2
+
+
+# --------------------------------------------------------------------------
+# ROLZ bucket query (decode side / shared geometry helpers)
+# --------------------------------------------------------------------------
+
+
+def _rolz_ctx(c, p: BlockParams):
+    return rolz_hash3((c["ctx4"] & 0xFFFFFF).astype(_i32), p.rolz_bits)
+
+
+def _rolz_slot_of_recency(c, rctx, rec_idx, p: BlockParams):
+    """Map a coded recency index (0 = most recent insert) to the physical
+    bucket slot, using the bucket's write pointer."""
+    w = c["rolz_w"][rctx]
+    return jnp.mod(w - 1 - rec_idx, p.rolz_depth)
+
+
+def _rolz_src_of_idx(c, rctx, rec_idx, p: BlockParams):
+    slot = _rolz_slot_of_recency(c, rctx, rec_idx, p)
+    return jnp.take_along_axis(
+        c["rolz_pos"][rctx], slot[:, None], axis=1
+    )[:, 0] - 1
+
+
+# --------------------------------------------------------------------------
+# shared per-step pieces
+# --------------------------------------------------------------------------
 
 
 def _common_reads(c, t, n, p: BlockParams):
@@ -182,8 +254,10 @@ def _common_reads(c, t, n, p: BlockParams):
     return lanes, pos, active, coding, copying, p1, ctx2, h3, pred, conf
 
 
-def _post_step(c, t, n, p, pos, active, byte, is_match, src, sym_len):
-    """Shared end-of-step state evolution: copy state, ctx4, LZP insert."""
+def _post_step(c, t, n, p: BlockParams, pos, active, byte, is_match, src,
+               sym_len):
+    """Shared end-of-step state evolution: copy state, context registers,
+    match-table inserts (identical on encode and decode)."""
     new_rem = jnp.where(
         is_match,
         sym_len + (p.min_len - 1),
@@ -194,30 +268,115 @@ def _post_step(c, t, n, p, pos, active, byte, is_match, src, sym_len):
     ctx4bn = jnp.where(
         active, (c["ctx4b"] << 8) | (c["ctx4"] >> 24), c["ctx4b"]
     )
-    # insert context-for-position pos+1 -> pos+1 (stored +1; scatter-max so
-    # the most recent position wins collisions deterministically)
-    ins2 = active & (t >= 1) & (t != p.steps - 1) & (pos + 1 < n)
-    ins4 = ins2 & (t >= 3)
-    ins8 = ins4 & (t >= 7)
-    lzp2 = c["lzp2"].at[
-        jnp.where(ins2, (ctx4n & 0xFFFF).astype(_i32), 1 << 16)
-    ].max(pos + 2, mode="drop")
-    lzp4 = c["lzp4"].at[
-        jnp.where(ins4, lzp_hash4(ctx4n), LZP4_SIZE)
-    ].max(pos + 2, mode="drop")
-    lzp8 = c["lzp8"].at[
-        jnp.where(ins8, lzp_hash8(ctx4n, ctx4bn), LZP8_SIZE)
-    ].max(pos + 2, mode="drop")
-    return {
+    c = {
         **c,
-        "lzp2": lzp2,
-        "lzp4": lzp4,
-        "lzp8": lzp8,
         "ctx4": ctx4n,
         "ctx4b": ctx4bn,
         "copy_rem": new_rem,
         "copy_src": new_src,
     }
+    if p.mode == "R":
+        # Insert the entry for position q = pos-3 under context bytes
+        # [q-3, q): all of q's 4-byte prefix (bytes q..q+3 = pos-3..pos) is
+        # now known on BOTH sides, so the prefix cache is exact.  Multiple
+        # lanes inserting into one bucket in the same step get consecutive
+        # circular slots ordered by lane id (deterministic).
+        ins = active & (t >= 6)
+        key3 = (ctx4bn & 0xFFFFFF).astype(_i32)  # bytes pos-6..pos-4
+        rctx = rolz_hash3(key3, p.rolz_bits)
+        same = (rctx[:, None] == rctx[None, :]) & ins[None, :]
+        lower = jnp.tril(jnp.ones((p.lanes, p.lanes), bool), k=-1)
+        rank = jnp.sum(same & lower, axis=1)
+        ins = ins & (rank < p.rolz_depth)
+        w_old = c["rolz_w"][rctx]
+        slot = jnp.mod(w_old + rank, p.rolz_depth)
+        safe_r = jnp.where(ins, rctx, 1 << p.rolz_bits)
+        q = pos - 3
+        c["rolz_pos"] = c["rolz_pos"].at[safe_r, slot].set(
+            q + 1, mode="drop"
+        )
+        c["rolz_nx4"] = c["rolz_nx4"].at[safe_r, slot].set(
+            _byteswap32(ctx4n), mode="drop"
+        )
+        c["rolz_w"] = c["rolz_w"].at[safe_r].add(
+            jnp.where(ins, 1, 0), mode="drop"
+        )
+    else:
+        # LZP: map context-for-position pos+1 -> pos+1 (stored +1;
+        # scatter-max so the newest position wins collisions)
+        ins2 = active & (t >= 1) & (t != p.steps - 1) & (pos + 1 < n)
+        ins4 = ins2 & (t >= 3)
+        ins8 = ins4 & (t >= 7)
+        c["lzp2"] = c["lzp2"].at[
+            jnp.where(ins2, (ctx4n & 0xFFFF).astype(_i32), 1 << 16)
+        ].max(pos + 2, mode="drop")
+        c["lzp4"] = c["lzp4"].at[
+            jnp.where(ins4, lzp_hash4(ctx4n), LZP4_SIZE)
+        ].max(pos + 2, mode="drop")
+        c["lzp8"] = c["lzp8"].at[
+            jnp.where(ins8, lzp_hash8(ctx4n, ctx4bn), LZP8_SIZE)
+        ].max(pos + 2, mode="drop")
+    return c
+
+
+def _rolz_best_match(c, ctx4, pos, t, n, p: BlockParams, inp_flat):
+    """Encoder-side ROLZ candidate search at (ctx4, pos): score all bucket
+    entries by 4-byte prefix cache, extend the top-K, return the longest
+    (length, src, recency-index)."""
+    rctx = rolz_hash3((ctx4 & 0xFFFFFF).astype(_i32), p.rolz_bits)
+    cand_pos = c["rolz_pos"][rctx]  # [S, D]
+    cand_nx4 = c["rolz_nx4"][rctx]  # [S, D]
+    nxt = [
+        inp_flat[jnp.clip(pos + k, 0, inp_flat.shape[0] - 1)].astype(_u32)
+        for k in range(4)
+    ]
+    own_nx4 = nxt[0] | (nxt[1] << 8) | (nxt[2] << 16) | (nxt[3] << 24)
+    diff = cand_nx4 ^ own_nx4[:, None]
+    score = (
+        ((diff & 0xFF) == 0).astype(_i32)
+        + ((diff & 0xFFFF) == 0).astype(_i32)
+        + ((diff & 0xFFFFFF) == 0).astype(_i32)
+        + (diff == 0).astype(_i32)
+    )
+    w = c["rolz_w"][rctx]
+    slot_ids = jax.lax.broadcasted_iota(_i32, (p.lanes, p.rolz_depth), 1)
+    rec = jnp.mod(w[:, None] - 1 - slot_ids, p.rolz_depth)
+    score = jnp.where(cand_pos > 0, score, -1)
+    rank_key = score * p.rolz_depth + (p.rolz_depth - 1 - rec)
+    k_top = min(4, p.rolz_depth)
+    _, top_slots = jax.lax.top_k(rank_key, k_top)
+    lens, srcs, recs = [], [], []
+    for k in range(k_top):
+        sl = top_slots[:, k]
+        src_k = jnp.take_along_axis(cand_pos, sl[:, None], 1)[:, 0] - 1
+        sc_k = jnp.take_along_axis(score, sl[:, None], 1)[:, 0]
+        len_k = _match_window_len(inp_flat, pos, src_k, t, n, p)
+        lens.append(jnp.where(sc_k == 4, len_k, 0))
+        srcs.append(src_k)
+        recs.append(jnp.take_along_axis(rec, sl[:, None], 1)[:, 0])
+    lens_m = jnp.stack(lens, 1)
+    pick = jnp.argmax(lens_m, axis=1)  # tie -> more recent (earlier col)
+    length = jnp.take_along_axis(lens_m, pick[:, None], 1)[:, 0]
+    src = jnp.take_along_axis(jnp.stack(srcs, 1), pick[:, None], 1)[:, 0]
+    sym_idx = jnp.take_along_axis(jnp.stack(recs, 1), pick[:, None], 1)[:, 0]
+    return length, src, sym_idx
+
+
+def _match_window_len(inp_flat, pos, src, t, n, p: BlockParams):
+    """Encoder-side match length via windowed compare (clamped gathers)."""
+    offs = jax.lax.broadcasted_iota(_i32, (p.lanes, p.window), 1)
+    cur_idx = jnp.clip(pos[:, None] + offs, 0, inp_flat.shape[0] - 1)
+    cand_idx = jnp.clip(
+        jnp.maximum(src, 0)[:, None] + offs, 0, inp_flat.shape[0] - 1
+    )
+    eq = inp_flat[cur_idx] == inp_flat[cand_idx]
+    run = jnp.cumprod(eq.astype(_i32), axis=-1)
+    length = jnp.sum(run, axis=-1)
+    cap = jnp.minimum(
+        jnp.minimum(p.steps - t, n - pos),
+        min(p.window, p.min_len + ppm.LEN_W - 1),
+    )
+    return jnp.minimum(length, cap)
 
 
 # --------------------------------------------------------------------------
@@ -232,30 +391,37 @@ def _encode_model_body(p: BlockParams, inp, inp_flat, n, c, t):
     byte = jax.lax.dynamic_slice(inp, (0, t), (p.lanes, 1)).reshape(p.lanes)
     byte = byte.astype(_i32)
 
-    # ---- match decision (encoder length policy is free; the SOURCE comes
-    # from the shared deterministic rule the decoder replays)
-    if p.match:
-        # Causality (enforced in _lzp_candidate): an entry inserted at step
-        # s names a position decoded at step s+1; a reader at step t gathers
-        # BEFORE this step's column write, so the source must satisfy
-        # decode-step(src) = src % T < t (this also rejects self-matches).
-        # Then byte src+k is decoded at step (src % T)+k (or earlier if it
-        # wraps into the next chunk), strictly before it is copied at t+k.
+    sym_idx = jnp.zeros((p.lanes,), _i32)
+    if p.match and p.mode == "R":
+        # ROLZ candidate scoring: compare each bucket entry's 4-byte prefix
+        # cache against the upcoming input bytes; extend the top-K
+        # prefix-matching candidates and keep the longest (the vectorized
+        # analogue of the reference's candidate walk,
+        # rolzmain/cr-matcher.c:122-162).  Free policy — the chosen index
+        # is coded, so the decoder never searches.
+        length, src, sym_idx = _rolz_best_match(
+            c, c["ctx4"], pos, t, n, p, inp_flat
+        )
+        valid = coding & (t >= 7)
+        # lazy parsing (shape of rolzmain/cr-matcher.c:186-195): if the
+        # next position promises a strictly better match, hold back one
+        # literal instead of committing now.  Pure encoder policy.
+        cur_byte = inp_flat[jnp.clip(pos, 0, inp_flat.shape[0] - 1)]
+        ctx4_next = (c["ctx4"] << 8) | cur_byte.astype(_u32)
+        len_next, _, _ = _rolz_best_match(
+            c, ctx4_next, pos + 1, t, n, p, inp_flat
+        )
+        do_match = (
+            valid & (length >= p.min_len) & (len_next <= length + 1)
+        )
+    elif p.match:
+        # LZP: causality note — an entry inserted at step s names a position
+        # decoded at step s+1; a reader at step t gathers BEFORE this step's
+        # column write, so the source must satisfy src % T < t (also rejects
+        # self-matches); byte src+k is then decoded strictly before t+k.
         src, ok = _lzp_candidate(c, t, p, inp_flat)
         valid = coding & ok
-        # compare windows via flat clamped gathers (may cross chunk ends)
-        offs = jax.lax.broadcasted_iota(_i32, (p.lanes, p.window), 1)
-        cur_idx = jnp.clip(pos[:, None] + offs, 0, inp_flat.shape[0] - 1)
-        cand_idx = jnp.clip(
-            jnp.maximum(src, 0)[:, None] + offs, 0, inp_flat.shape[0] - 1
-        )
-        eq = inp_flat[cur_idx] == inp_flat[cand_idx]
-        run = jnp.cumprod(eq.astype(_i32), axis=-1)
-        length = jnp.sum(run, axis=-1)
-        cap = jnp.minimum(
-            jnp.minimum(p.steps - t, n - pos), min(p.window, p.min_len + 255)
-        )
-        length = jnp.minimum(length, cap)
+        length = _match_window_len(inp_flat, pos, src, t, n, p)
         do_match = valid & (length >= p.min_len)
     else:
         src = jnp.zeros((p.lanes,), _i32)
@@ -282,30 +448,42 @@ def _encode_model_body(p: BlockParams, inp, inp_flat, n, c, t):
     )
     ca, fa = rans.select_cf(coding, ca, fa)
 
-    is_hit = coding & (sym_a == ppm.SYM_HIT)
     is_esc = coding & (sym_a == ppm.SYM_ESC)
     is_match = coding & (sym_a == ppm.SYM_MATCH)
 
-    # ---- B event: escaped literal (o1) or match length (len)
+    # ---- B event: escaped literal (o1) or ROLZ bucket index
     tbs, rows1, wmod, cums1, tot1 = ppm.read_o1_excl(
         tbs, p1, rows2, pred, is_esc
     )
     c1_raw, f1_raw = tb.cum_frq_of(wmod, cums1, byte)
-    sym_len = jnp.clip(length - p.min_len, 0, ppm.LEN_W - 1)
-    tbs, rows_l, cums_l, tot_l = ppm.read_len(tbs, is_match)
-    cl_raw, fl_raw = tb.cum_frq_of(rows_l, cums_l, sym_len)
-    cb_raw = jnp.where(is_esc, c1_raw, cl_raw)
-    fb_raw = jnp.where(is_esc, f1_raw, fl_raw)
-    tot_b = jnp.where(is_esc, tot1, tot_l)
-    act_b = is_esc | is_match
+    if p.mode == "R":
+        tbs, rows_i, cums_i, tot_i = ppm.read_idx(tbs, is_match)
+        ci_raw, fi_raw = tb.cum_frq_of(rows_i, cums_i, sym_idx)
+        cb_raw = jnp.where(is_esc, c1_raw, ci_raw)
+        fb_raw = jnp.where(is_esc, f1_raw, fi_raw)
+        tot_b = jnp.where(is_esc, tot1, tot_i)
+        act_b = is_esc | is_match
+    else:
+        cb_raw, fb_raw, tot_b = c1_raw, f1_raw, tot1
+        act_b = is_esc
     cb, fb = rans.norm_cf(
         cb_raw, jnp.maximum(fb_raw, 1), jnp.maximum(tot_b, 1)
     )
     cb, fb = rans.select_cf(act_b, cb, fb)
 
+    # ---- C event: match length
+    sym_len = jnp.clip(length - p.min_len, 0, ppm.LEN_W - 1)
+    tbs, rows_l, cums_l, tot_l = ppm.read_len(tbs, is_match)
+    cl_raw, fl_raw = tb.cum_frq_of(rows_l, cums_l, sym_len)
+    cc, fc = rans.norm_cf(
+        cl_raw, jnp.maximum(fl_raw, 1), jnp.maximum(tot_l, 1)
+    )
+    cc, fc = rans.select_cf(is_match, cc, fc)
+
     # ---- model updates + state evolution
     tbs = ppm.apply_updates(
-        tbs, coding, ctx2, sym_a, byte, f_byte, p1, h3, pred, conf, sym_len
+        tbs, coding, ctx2, sym_a, byte, f_byte, p1, h3, pred, conf,
+        sym_len, sym_idx,
     )
     c = dict(c)
     c["tables"] = tbs
@@ -317,6 +495,9 @@ def _encode_model_body(p: BlockParams, inp, inp_flat, n, c, t):
         cb.astype(jnp.uint16),
         fb.astype(jnp.uint16),
         act_b,
+        cc.astype(jnp.uint16),
+        fc.astype(jnp.uint16),
+        is_match,
         sym_a.astype(jnp.int16),
         jnp.where(is_match, length, 0).astype(jnp.int16),
     )
@@ -326,16 +507,20 @@ def _encode_model_body(p: BlockParams, inp, inp_flat, n, c, t):
 @functools.partial(jax.jit, static_argnums=(0,))
 def _encode_passes(p: BlockParams, inp, n):
     """Pass 1 (modeling) + pass 2 (backward rANS).  Returns device arrays:
-    (states [S] u32, emit [T,2,S] bool, words [T,2,S] u16)."""
+    (states [S] u32, emit [T,3,S] bool, words [T,3,S] u16, debug)."""
     inp_flat = inp.reshape(-1)
     carry = _init_carry(p)
     body = functools.partial(_encode_model_body, p, inp, inp_flat, n)
     carry, ev = jax.lax.scan(body, carry, jnp.arange(p.steps, dtype=_i32))
-    ca, fa, act_a, cb, fb, act_b, sym_a, mlen = ev
+    ca, fa, act_a, cb, fb, act_b, cc, fc, act_c, sym_a, mlen = ev
 
     def rans_body(x, e):
-        ca_t, fa_t, aa_t, cb_t, fb_t, ab_t = e
-        # backward: B first, then A (decode does A then B)
+        ca_t, fa_t, aa_t, cb_t, fb_t, ab_t, cc_t, fc_t, ac_t = e
+        # backward: C, then B, then A (decode order is A, B, C)
+        cc_v, fc_v = rans.select_cf(
+            ac_t, cc_t.astype(_u32), jnp.maximum(fc_t, 1).astype(_u32)
+        )
+        x, emit_c, word_c = rans.enc_put(x, cc_v, fc_v)
         cb_v, fb_v = rans.select_cf(
             ab_t, cb_t.astype(_u32), jnp.maximum(fb_t, 1).astype(_u32)
         )
@@ -345,15 +530,17 @@ def _encode_passes(p: BlockParams, inp, n):
         )
         x, emit_a, word_a = rans.enc_put(x, ca_v, fa_v)
         return x, (
-            jnp.stack([emit_a, emit_b]),
-            jnp.stack([word_a, word_b]),
+            jnp.stack([emit_a, emit_b, emit_c]),
+            jnp.stack([word_a, word_b, word_c]),
         )
 
     x = rans.init_states(p.lanes)
     x, (emit, words) = jax.lax.scan(
-        rans_body, x, (ca, fa, act_a, cb, fb, act_b), reverse=True
+        rans_body, x, (ca, fa, act_a, cb, fb, act_b, cc, fc, act_c),
+        reverse=True,
     )
-    return x, emit, words, (ca, fa, act_a, cb, fb, act_b, sym_a, mlen)
+    return x, emit, words, (ca, fa, act_a, cb, fb, act_b, cc, fc, act_c,
+                            sym_a, mlen)
 
 
 # --------------------------------------------------------------------------
@@ -368,6 +555,12 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     )
     out_flat = out.reshape(-1)
 
+    def advance(x, base, cx, fx):
+        x_tmp, need = rans.dec_advance(x, cx, fx)
+        idx, base = rans.stream_positions(need, base)
+        w = stream[jnp.minimum(idx, stream.shape[0] - 1)]
+        return rans.dec_renorm(x_tmp, need, w), base
+
     # ---- A event
     tbs, rows2, rowmod, cums_a, tot_a = ppm.read_o2(
         c["tables"], ctx2, pred, coding
@@ -379,42 +572,61 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
         ca_raw, jnp.maximum(fa_raw, 1), jnp.maximum(tot_a, 1)
     )
     ca, fa = rans.select_cf(coding, ca, fa)
-    x_tmp, need = rans.dec_advance(x, ca, fa)
-    idx, base = rans.stream_positions(need, base)
-    w = stream[jnp.minimum(idx, stream.shape[0] - 1)]
-    x = rans.dec_renorm(x_tmp, need, w)
+    x, base = advance(x, base, ca, fa)
 
     is_hit = coding & (sym_a == ppm.SYM_HIT)
     is_esc = coding & (sym_a == ppm.SYM_ESC)
     is_match = coding & (sym_a == ppm.SYM_MATCH)
     is_lit = coding & (sym_a < 256)
 
-    # ---- B event
+    # ---- B event: escaped literal or ROLZ index
     tbs, rows1, wmod, cums1, tot1 = ppm.read_o1_excl(
         tbs, p1, rows2, pred, is_esc
     )
-    tbs, rows_l, cums_l, tot_l = ppm.read_len(tbs, is_match)
     slot_b = rans.dec_slot(x)
     tgt1 = rans.dec_target(slot_b, jnp.maximum(tot1, 1))
     sym1, c1_raw, f1_raw = tb.find_symbol(wmod, cums1, tgt1.astype(_i32))
-    tgt_l = rans.dec_target(slot_b, jnp.maximum(tot_l, 1))
-    sym_l, cl_raw, fl_raw = tb.find_symbol(rows_l, cums_l, tgt_l.astype(_i32))
-    cb_raw = jnp.where(is_esc, c1_raw, cl_raw)
-    fb_raw = jnp.where(is_esc, f1_raw, fl_raw)
-    tot_b = jnp.where(is_esc, tot1, tot_l)
-    act_b = is_esc | is_match
+    sym_idx = jnp.zeros((p.lanes,), _i32)
+    if p.mode == "R":
+        tbs, rows_i, cums_i, tot_i = ppm.read_idx(tbs, is_match)
+        tgt_i = rans.dec_target(slot_b, jnp.maximum(tot_i, 1))
+        sym_i, ci_raw, fi_raw = tb.find_symbol(
+            rows_i, cums_i, tgt_i.astype(_i32)
+        )
+        sym_idx = sym_i
+        cb_raw = jnp.where(is_esc, c1_raw, ci_raw)
+        fb_raw = jnp.where(is_esc, f1_raw, fi_raw)
+        tot_b = jnp.where(is_esc, tot1, tot_i)
+        act_b = is_esc | is_match
+    else:
+        cb_raw, fb_raw, tot_b = c1_raw, f1_raw, tot1
+        act_b = is_esc
     cb, fb = rans.norm_cf(
         cb_raw, jnp.maximum(fb_raw, 1), jnp.maximum(tot_b, 1)
     )
     cb, fb = rans.select_cf(act_b, cb, fb)
-    x_tmp, need = rans.dec_advance(x, cb, fb)
-    idx, base = rans.stream_positions(need, base)
-    w = stream[jnp.minimum(idx, stream.shape[0] - 1)]
-    x = rans.dec_renorm(x_tmp, need, w)
+    x, base = advance(x, base, cb, fb)
+
+    # ---- C event: match length
+    tbs, rows_l, cums_l, tot_l = ppm.read_len(tbs, is_match)
+    slot_c = rans.dec_slot(x)
+    tgt_l = rans.dec_target(slot_c, jnp.maximum(tot_l, 1))
+    sym_l, cl_raw, fl_raw = tb.find_symbol(rows_l, cums_l, tgt_l.astype(_i32))
+    cc, fc = rans.norm_cf(
+        cl_raw, jnp.maximum(fl_raw, 1), jnp.maximum(tot_l, 1)
+    )
+    cc, fc = rans.select_cf(is_match, cc, fc)
+    x, base = advance(x, base, cc, fc)
 
     # ---- resolve the byte
-    src, _ok = _lzp_candidate(c, t, p, out_flat)
-    gsrc = jnp.clip(jnp.where(is_match, src, c["copy_src"]), 0, out_flat.shape[0] - 1)
+    if p.mode == "R":
+        rctx = _rolz_ctx(c, p)
+        src = _rolz_src_of_idx(c, rctx, sym_idx, p)
+    else:
+        src, _ok = _lzp_candidate(c, t, p, out_flat)
+    gsrc = jnp.clip(
+        jnp.where(is_match, src, c["copy_src"]), 0, out_flat.shape[0] - 1
+    )
     copied = out_flat[gsrc].astype(_i32)
     byte = jnp.where(is_lit, sym_a, 0)
     byte = jnp.where(is_hit, pred, byte)
@@ -425,12 +637,15 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
 
     # ---- updates + state evolution
     tbs = ppm.apply_updates(
-        tbs, coding, ctx2, sym_a, byte, f_byte, p1, h3, pred, conf, sym_l
+        tbs, coding, ctx2, sym_a, byte, f_byte, p1, h3, pred, conf,
+        jnp.where(is_match, sym_l, 0), sym_idx,
     )
     c = dict(c)
     c["tables"] = tbs
-    sym_len_eff = jnp.where(is_match, sym_l, 0)
-    c = _post_step(c, t, n, p, pos, active, byte, is_match, src, sym_len_eff)
+    c = _post_step(
+        c, t, n, p, pos, active, byte, is_match, src,
+        jnp.where(is_match, sym_l, 0),
+    )
     col = jnp.where(active, byte, 0).astype(jnp.uint8)
     out = jax.lax.dynamic_update_slice(out, col[:, None], (0, t))
     return (c, x, base, out), None
@@ -463,7 +678,7 @@ def encode_block(data: np.ndarray, p: BlockParams) -> bytes:
     buf = np.zeros((p.lanes, p.steps), np.uint8)
     buf.reshape(-1)[:n] = data
     states, emit, words, _ = _encode_passes(p, jnp.asarray(buf), jnp.int32(n))
-    emit_np = np.asarray(emit)  # [T, 2, S] in (step, slot, lane) order
+    emit_np = np.asarray(emit)  # [T, 3, S] in (step, slot, lane) order
     words_np = np.asarray(words)
     stream = words_np[emit_np]  # C-order compaction == decode read order
     states_np = np.asarray(states)
@@ -481,11 +696,15 @@ def encode_block_stats(data: np.ndarray, p: BlockParams) -> dict:
     buf = np.zeros((p.lanes, p.steps), np.uint8)
     buf.reshape(-1)[:n] = data
     _, emit, words, dbg = _encode_passes(p, jnp.asarray(buf), jnp.int32(n))
-    ca, fa, act_a, cb, fb, act_b, sym_a, mlen = map(np.asarray, dbg)
+    (ca, fa, act_a, cb, fb, act_b, cc, fc, act_c, sym_a, mlen) = map(
+        np.asarray, dbg
+    )
     act_a = act_a.astype(bool)
     act_b = act_b.astype(bool)
+    act_c = act_c.astype(bool)
     bits_a = np.where(act_a, 15.0 - np.log2(np.maximum(fa, 1)), 0.0)
     bits_b = np.where(act_b, 15.0 - np.log2(np.maximum(fb, 1)), 0.0)
+    bits_c = np.where(act_c, 15.0 - np.log2(np.maximum(fc, 1)), 0.0)
     is_lit = act_a & (sym_a < 256)
     is_hit = act_a & (sym_a == ppm.SYM_HIT)
     is_esc = act_a & (sym_a == ppm.SYM_ESC)
@@ -505,7 +724,8 @@ def encode_block_stats(data: np.ndarray, p: BlockParams) -> dict:
         "bits_esc_flag": float(bits_a[is_esc].sum()),
         "bits_esc_lit": float(bits_b[act_b & is_esc].sum()),
         "bits_match_flag": float(bits_a[is_mat].sum()),
-        "bits_match_len": float(bits_b[act_b & is_mat].sum()),
+        "bits_match_idx": float(bits_b[act_b & is_mat].sum()),
+        "bits_match_len": float(bits_c[is_mat & act_c].sum()),
         "stream_words": int(np.asarray(emit).sum()),
     }
     total_bits = sum(v for k, v in stats.items() if k.startswith("bits_"))

@@ -57,13 +57,15 @@ def write_header(f: BinaryIO, cp: ContainerParams, flags: int = 0) -> None:
     f.write(cp.codec)
     f.write(
         struct.pack(
-            "<BHIBBB",
+            "<BHIBBBBB",
             flags,
             b.lanes,
             b.steps,
             b.o3_bits,
             b.min_len,
             1 if b.match else 0,
+            b.rolz_bits,
+            b.rolz_depth,
         )
     )
 
@@ -73,15 +75,18 @@ def read_header(f: BinaryIO) -> tuple[ContainerParams, int]:
     if magic != MAGIC:
         raise ValueError(f"bad magic {magic!r}: not a comprox_tpu archive")
     codec = f.read(1)
-    flags, lanes, steps, o3_bits, min_len, match = struct.unpack(
-        "<BHIBBB", f.read(10)
+    flags, lanes, steps, o3_bits, min_len, match, rolz_bits, rolz_depth = (
+        struct.unpack("<BHIBBBBB", f.read(12))
     )
     bp = BlockParams(
         lanes=lanes,
         steps=steps,
+        mode="R" if codec == b"R" else "P",
         match=bool(match),
         min_len=min_len,
         o3_bits=o3_bits,
+        rolz_bits=rolz_bits,
+        rolz_depth=rolz_depth,
     )
     return ContainerParams(codec=codec, block=bp), flags
 
@@ -98,11 +103,22 @@ def encode_stream(
     encode_fn: Optional[Callable] = None,
     progress: Optional[Callable[[int, int], None]] = None,
     filters: bool = False,
+    dictionary: bool = True,
 ) -> int:
     """Encode ``src`` into ``dst``; returns compressed byte count."""
+    from comprox_tpu.codec import dictionary as dic
+
     encode_fn = encode_fn or (lambda blk: encode_block(blk, cp.block))
-    write_header(dst, cp, flags=F_FILTER if filters else 0)
-    written = 19
+    # whole-file pass #1: build the word dictionary (src/main.c:158 ->
+    # cr-dicpick.c); broadcast-equivalent: the blob rides the header
+    wd = dic.build_dictionary(src) if dictionary else None
+    flags = (F_FILTER if filters else 0) | (F_DICT if wd else 0)
+    write_header(dst, cp, flags=flags)
+    written = 21
+    if wd is not None:
+        blob = dic.pack_dict(wd)
+        dst.write(struct.pack("<I", len(blob)) + blob)
+        written += 4 + len(blob)
     total = src.size
     done = 0
     for raw_blk in iter_blocks(src, cp.block.capacity):
@@ -117,14 +133,19 @@ def encode_stream(
                 blk = flt.apply_spans(blk, spans, encode=True)
                 prefix = flt.pack_spans(spans)
                 bflags |= BF_FILTERED
+        if wd is not None:
+            sub = dic.dict_encode(blk, wd)
+            if sub.size < blk.size and sub.size <= cp.block.capacity:
+                blk = sub
+                prefix += struct.pack("<I", sub.size)
+                bflags |= BF_DICT
         payload = prefix + encode_fn(blk)
         if len(payload) >= raw_blk.size:  # stored fallback, raw unfiltered
             payload, bflags = raw_blk.tobytes(), BF_STORED
-        blk = raw_blk
-        dst.write(struct.pack("<IIB", blk.size, len(payload), bflags))
+        dst.write(struct.pack("<IIB", raw_blk.size, len(payload), bflags))
         dst.write(payload)
         written += 9 + len(payload)
-        done += blk.size
+        done += raw_blk.size
         if progress:
             progress(done, total)
     dst.write(struct.pack("<IIB", 0, 0, 0))
@@ -138,10 +159,16 @@ def decode_stream(
     progress: Optional[Callable[[int, int], None]] = None,
 ) -> int:
     """Decode an archive; returns raw byte count."""
-    cp, _flags = read_header(src)
+    from comprox_tpu.codec import dictionary as dic
+
+    cp, flags = read_header(src)
     decode_fn = decode_fn or (
         lambda payload, n: decode_block(payload, n, cp.block)
     )
+    wd = None
+    if flags & F_DICT:
+        (blob_len,) = struct.unpack("<I", src.read(4))
+        wd = dic.unpack_dict(src.read(blob_len))
     total = 0
     while True:
         hdr = src.read(9)
@@ -162,7 +189,17 @@ def decode_stream(
         if bflags & BF_STORED:
             out = np.frombuffer(payload, np.uint8)
         else:
-            out = decode_fn(payload, raw_n)
+            n_dec = raw_n
+            if bflags & BF_DICT:
+                (n_dec,) = struct.unpack("<I", payload[:4])
+                payload = payload[4:]
+            out = decode_fn(payload, n_dec)
+            if bflags & BF_DICT:
+                out = dic.dict_decode(out, wd)
+                if out.size != raw_n:
+                    raise ValueError(
+                        f"dictionary expansion mismatch: {out.size} != {raw_n}"
+                    )
         if spans:
             from comprox_tpu.ops import filters as flt
 

@@ -1,0 +1,247 @@
+"""Static word-dictionary pre-pass (the reference's cr-dicpick/cr-diccode
+stage, re-designed for vectorized decode).
+
+The reference builds a <=25000-word dictionary in a whole-file pass
+(cr-dicpick.c:164-236), substitutes words with 1-2 byte codes chosen from
+per-block rare bytes plus a case/punctuation escape byte (cr-diccode.c:
+160-221), and front-codes the dictionary text (cr-dicpick.c:261-346).
+
+Our scheme keeps the capability but chooses a code space whose *decode is
+position-independent*, so expansion never needs a sequential scan:
+
+  * 1-byte codes: byte values with zero occurrences in the whole file
+    (cost-free — no escapes needed);
+  * 2-byte codes: N_LEADS rare "lead" bytes; a lead is followed by a code
+    byte cb, where cb is never a lead value — therefore every lead
+    occurrence in the coded stream starts a real 2-byte code;
+  * literal occurrences of lead j escape as (lead_0, 255-j).
+
+Tokens are ``[A-Za-z]{2,20}`` with an optional trailing space, so the
+overwhelmingly common "word + space" unit codes as one symbol (the
+reference instead folds trailing punctuation into its escape byte,
+cr-diccode.c:313-335).  Word selection is by total savings
+count*(len-codelen), greedy.  The dictionary blob is LCP front-coded like
+the reference.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import os as _os
+
+# Measured on doc-text (BASELINE.md corpus): 1-byte codes (cost-free
+# unused byte values) help ~5%; 2-byte codes and trailing-space tokens
+# HURT the downstream ROLZ+PPM stage (they replace words the o3/match
+# layers already code at <2 bits with near-incompressible code bytes).
+# Defaults reflect that; env knobs kept for sweeps.
+_SPACE = _os.environ.get("CPX_DICT_SPACE", "0") == "1"
+WORD_RE = re.compile(
+    rb"[A-Za-z]{2,20} ?" if _SPACE else rb"[A-Za-z]{2,20}"
+)
+MIN_COUNT = 6  # reference keeps words with count > 5 (cr-dicpick.c:219)
+N_LEADS = int(_os.environ.get("CPX_DICT_LEADS", "4"))
+MAX_W2 = int(_os.environ.get("CPX_DICT_W2", "0"))  # -1 = full code space
+
+
+@dataclass
+class WordDict:
+    one_codes: List[int]  # byte values for 1-byte codes
+    words1: List[bytes]  # words for one_codes (same order)
+    leads: List[int]  # lead byte values (first carries the escapes)
+    words2: List[bytes]  # words for 2-byte codes
+    enc_map: Dict[bytes, bytes] = field(default_factory=dict, repr=False)
+
+    def _cbs(self) -> List[int]:
+        """Code-byte values: everything except lead values; the first
+        len(leads) values from the top (255, 254, ...) are reserved on
+        lead_0 for lead-literal escapes."""
+        return [cb for cb in range(256) if cb not in set(self.leads)]
+
+    def two_codes(self) -> List[Tuple[int, int]]:
+        cbs = self._cbs()
+        esc_reserved = set(range(256 - len(self.leads), 256))
+        codes = []
+        for li, lead in enumerate(self.leads):
+            for cb in cbs:
+                if li == 0 and cb in esc_reserved:
+                    continue
+                codes.append((lead, cb))
+        return codes
+
+    def esc_code(self, j: int) -> Tuple[int, int]:
+        return (self.leads[0], 255 - j)
+
+    def build_maps(self) -> None:
+        self.enc_map = {}
+        for b, w in zip(self.one_codes, self.words1):
+            self.enc_map[w] = bytes([b])
+        for (lead, cb), w in zip(self.two_codes(), self.words2):
+            self.enc_map[w] = bytes([lead, cb])
+
+
+def build_dictionary(data: np.ndarray, max_words2: Optional[int] = None
+                     ) -> Optional[WordDict]:
+    """Whole-file pass #1 (the dicpick analogue).  Returns None when a
+    dictionary can't pay for itself (binary data, tiny files)."""
+    raw = data.tobytes()
+    if len(raw) < 4096:
+        return None
+    hist = np.bincount(data, minlength=256)
+    unused = [int(b) for b in np.flatnonzero(hist == 0)]
+    cnt = Counter(WORD_RE.findall(raw))
+    cand = [(w, c) for w, c in cnt.items() if c >= MIN_COUNT]
+    if not cand:
+        return None
+    # rare leads for 2-byte codes: cheapest nonzero bytes not already free
+    order = np.argsort(hist + (hist == 0) * (1 << 30))
+    leads = [int(b) for b in order[:N_LEADS]]
+    lead_cost = int(hist[leads].sum())  # each literal escape costs +1B
+    by_savings1 = sorted(cand, key=lambda kv: -kv[1] * (len(kv[0]) - 1))
+    words1 = [w for w, c in by_savings1[: len(unused)]]
+    rest = [(w, c) for w, c in by_savings1[len(unused):] if len(w) >= 3]
+    by_savings2 = sorted(rest, key=lambda kv: -kv[1] * (len(kv[0]) - 2))
+    d = WordDict(one_codes=unused[: len(words1)], words1=words1,
+                 leads=leads, words2=[])
+    if max_words2 is None:
+        max_words2 = MAX_W2 if MAX_W2 >= 0 else None
+    n2cap = len(d.two_codes()) if max_words2 is None else max_words2
+    d.words2 = [w for w, c in by_savings2[:n2cap]]
+    total_savings = (
+        sum(cnt[w] * (len(w) - 1) for w in d.words1)
+        + sum(cnt[w] * (len(w) - 2) for w in d.words2)
+        - lead_cost
+    )
+    if total_savings < len(raw) // 64:  # not worth the stage
+        return None
+    d.build_maps()
+    return d
+
+
+def dict_encode(data: np.ndarray, d: WordDict) -> np.ndarray:
+    """Substitute words; escape literal lead bytes.  Per-block pass #2."""
+    raw = data.tobytes()
+    esc = {
+        lead: bytes(d.esc_code(j)) for j, lead in enumerate(d.leads)
+    }
+    out = []
+    pos = 0
+    enc_map = d.enc_map
+    for m in WORD_RE.finditer(raw):
+        start = m.start()
+        if start > pos:
+            out.append(_escape(raw[pos:start], esc))
+        code = enc_map.get(m.group(0))
+        # unsubstituted words may still contain a lead-valued letter byte
+        out.append(code if code is not None else _escape(m.group(0), esc))
+        pos = m.end()
+    out.append(_escape(raw[pos:], esc))
+    return np.frombuffer(b"".join(out), np.uint8).copy()
+
+
+def _escape(seg: bytes, esc: Dict[int, bytes]) -> bytes:
+    if not any(bytes([b]) in seg for b in esc):  # fast path
+        return seg
+    return b"".join(esc.get(b, bytes([b])) for b in seg)
+
+
+def dict_decode(data: np.ndarray, d: WordDict) -> np.ndarray:
+    """Expansion: every lead byte starts a real 2-byte code by construction
+    (cb values never collide with leads), so no sequential re-scan is
+    needed — a hybrid loop over code occurrences with bulk copies between
+    them."""
+    n = data.size
+    if n == 0:
+        return data
+    one_map: Dict[int, bytes] = {
+        b: w for b, w in zip(d.one_codes, d.words1)
+    }
+    two_words: Dict[Tuple[int, int], bytes] = {
+        code: w for code, w in zip(d.two_codes(), d.words2)
+    }
+    for j, lead in enumerate(d.leads):
+        two_words[d.esc_code(j)] = bytes([lead])
+    out: List[bytes] = []
+    raw = data.tobytes()
+    lead_arr = np.array(d.leads, np.uint8)
+    hits = np.flatnonzero(
+        np.isin(data, lead_arr)
+        | np.isin(data, np.array(d.one_codes, np.uint8))
+    )
+    prev = 0
+    for i in hits:
+        i = int(i)
+        if i < prev:
+            continue  # was a cb consumed by a preceding lead
+        out.append(raw[prev:i])
+        b = int(data[i])
+        if b in d.leads:
+            cb = int(data[i + 1]) if i + 1 < n else 0
+            out.append(two_words.get((b, cb), b""))
+            prev = i + 2
+        else:
+            out.append(one_map[b])
+            prev = i + 1
+    out.append(raw[prev:])
+    return np.frombuffer(b"".join(out), np.uint8).copy()
+
+
+# --------------------------------------------------------------------------
+# blob (de)serialization — LCP front-coding like cr-dicpick.c:261-346
+# --------------------------------------------------------------------------
+
+
+def pack_dict(d: WordDict) -> bytes:
+    def front_code(words: List[bytes]) -> bytes:
+        out = [struct.pack("<H", len(words))]
+        prev = b""
+        for w in words:
+            lcp = 0
+            while lcp < min(len(prev), len(w), 255) and prev[lcp] == w[lcp]:
+                lcp += 1
+            out.append(bytes([lcp, len(w) - lcp]) + w[lcp:])
+            prev = w
+        return b"".join(out)
+
+    head = struct.pack("<BH", len(d.leads), len(d.one_codes))
+    return (
+        head
+        + bytes(d.leads)
+        + bytes(d.one_codes)
+        + front_code(d.words1)
+        + front_code(d.words2)
+    )
+
+
+def unpack_dict(blob: bytes) -> WordDict:
+    n_leads, n1 = struct.unpack("<BH", blob[:3])
+    off = 3
+    leads = list(blob[off : off + n_leads])
+    off += n_leads
+    one_codes = list(blob[off : off + n1])
+    off += n1
+
+    def read_words(off):
+        (k,) = struct.unpack("<H", blob[off : off + 2])
+        off += 2
+        words, prev = [], b""
+        for _ in range(k):
+            lcp, slen = blob[off], blob[off + 1]
+            off += 2
+            w = prev[:lcp] + blob[off : off + slen]
+            off += slen
+            words.append(w)
+            prev = w
+        return words, off
+
+    words1, off = read_words(off)
+    words2, off = read_words(off)
+    d = WordDict(one_codes, words1, leads, words2)
+    d.build_maps()
+    return d

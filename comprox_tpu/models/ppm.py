@@ -43,12 +43,23 @@ SYM_ESC = 257
 SYM_MATCH = 258
 
 # --- tuning constants (ours; reference analogues noted) ---------------------
-INC2 = 16  # o2 increment            (ref: 1 on u8 tables, cr-ppm.c)
-CAP2 = 24576  # o2 read-time sum cap (ref: per-freq 250, cr-o2model.c:53)
-INC1 = 1  # o1 increment             (ref: 1, cr-ppm.c:92)
-CAP1 = 3500  # o1 raw-sum cap; weighted 8*f-7 total stays < 2^15
-LEN_INC = 16
+# overridable via CPX_* env vars for ratio sweeps (read at import time)
+import os as _os
+
+
+def _env(name, default):
+    return int(_os.environ.get("CPX_" + name, default))
+
+
+INC2 = _env("INC2", 16)  # o2 increment   (ref: 1 on u8 tables, cr-ppm.c)
+CAP2 = _env("CAP2", 24576)  # o2 read-time sum cap (ref: freq 250/symbol)
+INC1 = _env("INC1", 1)  # o1 increment    (ref: 1, cr-ppm.c:92)
+CAP1 = _env("CAP1", 3500)  # o1 raw-sum cap; weighted 8*f-7 stays < 2^15
+LEN_INC = _env("LEN_INC", 16)
 LEN_CAP = 24576
+IDX_INC = _env("IDX_INC", 16)  # ROLZ index model (ref: 4, cr-coder.c:282)
+IDX_CAP = 24576
+IDX_W = 64
 O2_NCTX = 1 << 16
 O1_NCTX = 256
 O3_SIZE = 1 << 22
@@ -75,10 +86,12 @@ def init_tables(match_enabled: bool, o3_bits: int = 22) -> dict:
         "o1": tb.make_table(O1_NCTX, O1_NCTX, jnp.ones((O1_NCTX,), _i32)),
         "o3": jnp.zeros((o3_size,), _i32),  # conf<<8 | pred, init pred=0 conf=0
         "len": tb.make_table(1, LEN_W, jnp.ones((LEN_W,), _i32)),
+        "idx": tb.make_table(1, IDX_W, jnp.ones((IDX_W,), _i32)),
         "sc_o2": jnp.full((O2_NCTX,), sent, _i32),
         "sc_o1": jnp.full((O1_NCTX,), sent, _i32),
         "sc_o3": jnp.full((o3_size,), sent, _i32),
         "sc_len": jnp.full((1,), sent, _i32),
+        "sc_idx": jnp.full((1,), sent, _i32),
     }
 
 
@@ -131,13 +144,23 @@ def read_o1_excl(t, p1, o2_rows, pred, esc_mask):
 
 
 def read_len(t, match_mask):
-    """Shared match-length distribution (B event of match lanes)."""
-    zeros = jnp.zeros_like(match_mask, _i32)
-    rows = t["len"][zeros]
-    rows, did = tb.rescale_read(rows, LEN_CAP, _STICKY_ALL)
+    """Shared match-length distribution (C event of match lanes)."""
+    return _read_shared(t, match_mask, "len", LEN_CAP)
+
+
+def read_idx(t, match_mask):
+    """Shared ROLZ bucket-index distribution (B event of match lanes;
+    the analogue of rolzmain's idx_model, cr-coder.c:214-226)."""
+    return _read_shared(t, match_mask, "idx", IDX_CAP)
+
+
+def _read_shared(t, mask, key, cap):
+    zeros = jnp.zeros_like(mask, _i32)
+    rows = t[key][zeros]
+    rows, did = tb.rescale_read(rows, cap, _STICKY_ALL)
     t = dict(t)
-    t["len"], t["sc_len"] = tb.write_rows_dedup(
-        t["len"], zeros, rows, did & match_mask, t["sc_len"]
+    t[key], t["sc_" + key] = tb.write_rows_dedup(
+        t[key], zeros, rows, did & mask, t["sc_" + key]
     )
     cums = tb.exclusive_cumsum(rows)
     return t, rows, cums, tb.row_total(rows)
@@ -155,6 +178,7 @@ def apply_updates(
     pred,
     conf,
     sym_len,
+    sym_idx=None,
 ):
     """All model updates for one step, after both events are coded.
 
@@ -190,9 +214,11 @@ def apply_updates(
     # --- o1: escaped literals ----------------------------------------------
     t["o1"] = tb.scatter_add(t["o1"], p1, byte, INC1, is_esc)
 
-    # --- len: match lengths -------------------------------------------------
+    # --- len / idx: match side models ---------------------------------------
     zeros = jnp.zeros_like(sym_len)
     t["len"] = tb.scatter_add(t["len"], zeros, sym_len, LEN_INC, is_match)
+    if sym_idx is not None:
+        t["idx"] = tb.scatter_add(t["idx"], zeros, sym_idx, IDX_INC, is_match)
 
     # --- o3 predictor: hit strengthens, miss decays/replaces ----------------
     # (cr-ppm.c:69-88; matches don't touch o3)

@@ -1,0 +1,88 @@
+"""Word-dictionary pre-pass tests: substitution invertibility, blob
+round-trip, container integration (the reference's only oracle was the full
+archive round-trip; we test the stage in isolation too)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from comprox_tpu.codec import dictionary as dic
+
+
+def text_corpus(n=60000, seed=0):
+    rng = np.random.default_rng(seed)
+    words = [b"the", b"compression", b"dictionary", b"framework", b"tensor",
+             b"processing", b"adaptive", b"entropy", b"model", b"data"]
+    parts = []
+    size = 0
+    while size < n:
+        w = words[int(rng.integers(0, len(words)))]
+        if rng.random() < 0.1:
+            w = w.capitalize()
+        parts.append(w + (b" " if rng.random() < 0.8 else b".\n"))
+        size += len(parts[-1])
+    return np.frombuffer(b"".join(parts)[:n], np.uint8).copy()
+
+
+class TestDictionary:
+    def test_build_and_roundtrip(self):
+        data = text_corpus()
+        d = dic.build_dictionary(data)
+        assert d is not None and len(d.enc_map) > 0
+        enc = dic.dict_encode(data, d)
+        assert enc.size < data.size * 0.8  # wordy text shrinks a lot
+        dec = dic.dict_decode(enc, d)
+        np.testing.assert_array_equal(dec, data)
+
+    def test_roundtrip_with_lead_byte_literals(self):
+        # inject literal occurrences of every byte value: escapes must hold
+        data = np.concatenate(
+            [text_corpus(30000), np.arange(256, dtype=np.uint8).repeat(3),
+             text_corpus(10000, seed=2)]
+        )
+        d = dic.build_dictionary(data)
+        if d is None:
+            pytest.skip("dictionary not profitable on this mix")
+        dec = dic.dict_decode(dic.dict_encode(data, d), d)
+        np.testing.assert_array_equal(dec, data)
+
+    def test_binary_data_declines(self):
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 256, 100000, dtype=np.uint8)
+        assert dic.build_dictionary(data) is None
+
+    def test_blob_roundtrip(self):
+        data = text_corpus()
+        d = dic.build_dictionary(data)
+        blob = dic.pack_dict(d)
+        d2 = dic.unpack_dict(blob)
+        assert d2.one_codes == d.one_codes
+        assert d2.words1 == d.words1 and d2.words2 == d.words2
+        assert d2.leads == d.leads
+        enc1 = dic.dict_encode(data, d)
+        enc2 = dic.dict_encode(data, d2)
+        np.testing.assert_array_equal(enc1, enc2)
+
+
+def test_container_with_dictionary_roundtrip():
+    from comprox_tpu.codec.block import BlockParams
+    from comprox_tpu.codec.container import (
+        ContainerParams,
+        decode_stream,
+        encode_stream,
+    )
+
+    data = text_corpus(20000)
+    cp = ContainerParams(
+        codec=b"R",
+        block=BlockParams(lanes=8, steps=1024, mode="R", min_len=5,
+                          o3_bits=12, rolz_bits=10, rolz_depth=16),
+    )
+    buf = io.BytesIO()
+    csize = encode_stream(data, buf, cp, dictionary=True)
+    buf.seek(0)
+    out = io.BytesIO()
+    decode_stream(buf, out)
+    assert out.getvalue() == data.tobytes()
+    assert csize < data.size
