@@ -66,8 +66,8 @@ def main() -> None:
     import io
 
     steps = max(1, int(block_mb * 1048576) // lanes)
-    bp = BlockParams(lanes=lanes, steps=steps, match=True)
-    cp = ContainerParams(codec=b"P", block=bp)
+    bp = BlockParams(lanes=lanes, steps=steps, mode="R", min_len=5)
+    cp = ContainerParams(codec=b"R", block=bp)
     data = build_corpus(int(corpus_mb * 1048576))
 
     # warmup: compile encode+decode on a single block

@@ -69,12 +69,13 @@ def make_params(codec_name: str, opts) -> ContainerParams:
     lanes = opts["lanes"]
     cap = int(opts["block_mb"] * 1048576)
     steps = max(1, cap // lanes)
-    mode = "R" if codec_name == "crz" else "P"
+    mode = {"crz": "R", "crx": "X"}.get(codec_name, "P")
+    # ref match_min: lzp 4 (ropmain), rolz 5, lz77 ~10 (roxmain cr-coder.c:192)
     bp = BlockParams(
         lanes=lanes,
         steps=steps,
         mode=mode,
-        min_len=5 if mode == "R" else 4,  # ref: rolz min 5, lzp min 4
+        min_len={"P": 4, "R": 5, "X": 8}[mode],
     )
     return ContainerParams(codec=CODEC_BYTE.get(codec_name, b"P"), block=bp)
 

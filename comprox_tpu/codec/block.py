@@ -95,11 +95,16 @@ class BlockParams:
         return self.capacity // 2 + 16
 
     @property
+    def n_slots(self) -> int:
+        # A, B, C (+ D/E distance extra-bit events in LZ77 mode)
+        return 5 if self.mode == "X" else 3
+
+    @property
     def stream_pad_max(self) -> int:
-        # absolute worst case: 3 events/byte, <=1 word/event (for raw
-        # decode_block calls on adversarial payloads, bypassing the
+        # absolute worst case: n_slots events/byte, <=1 word/event (for
+        # raw decode_block calls on adversarial payloads, bypassing the
         # container's stored fallback)
-        return 3 * self.capacity + 16
+        return self.n_slots * self.capacity + 16
 
 
 def lzp_hash4(ctx4):
@@ -126,6 +131,26 @@ def rolz_hash3(key3, bits: int):
     return ((v >> (32 - bits)) & _u32((1 << bits) - 1)).astype(_i32)
 
 
+def x_hash4(nx4, bits: int):
+    """4 content bytes -> LZ77 bucket (the analogue of roxmain's
+    hash-chain bucketing, roxmain/cr-matcher.c:39-53; our 'chain' is the
+    same fixed-depth bucket structure the ROLZ layer uses)."""
+    v = nx4.astype(_u32) * _u32(0x9E3779B1)
+    return ((v >> (32 - bits)) & _u32((1 << bits) - 1)).astype(_i32)
+
+
+def _dist_bucket(dist):
+    """k = bit_length(dist) - 1 via integer compares (exact, no floats)."""
+    k = jnp.zeros_like(dist)
+    for j in range(1, 25):
+        k = k + (dist >= (1 << j)).astype(dist.dtype)
+    return k
+
+
+SYM_DST_REPEAT = 24  # distance == previous distance (roxmain codes this
+# as raw distance 0, cr-coder.c:232-235)
+
+
 def _lane_ids(s):
     return jax.lax.broadcasted_iota(_i32, (s, 1), 0).reshape(s)
 
@@ -140,7 +165,7 @@ def _byteswap32(v):
     )
 
 
-def _init_carry(p: BlockParams):
+def _init_carry(p: BlockParams, enc_side: bool):
     c = {
         "tables": ppm.init_tables(p.match, p.o3_bits),
         "ctx4": jnp.zeros((p.lanes,), _u32),  # last 4 bytes, newest low
@@ -148,15 +173,19 @@ def _init_carry(p: BlockParams):
         "copy_rem": jnp.zeros((p.lanes,), _i32),
         "copy_src": jnp.zeros((p.lanes,), _i32),
     }
-    if p.mode == "R":
+    if p.mode == "R" or (p.mode == "X" and enc_side):
+        # 'X' keeps the bucket tables encoder-private: distances are coded
+        # explicitly, so the decoder never touches a match table
         nb = 1 << p.rolz_bits
         c["rolz_pos"] = jnp.zeros((nb, p.rolz_depth), _i32)
         c["rolz_nx4"] = jnp.zeros((nb, p.rolz_depth), _u32)
         c["rolz_w"] = jnp.zeros((nb,), _i32)
-    else:
+    elif p.mode == "P":
         c["lzp2"] = jnp.zeros((1 << 16,), _i32)
         c["lzp4"] = jnp.zeros((LZP4_SIZE,), _i32)
         c["lzp8"] = jnp.zeros((LZP8_SIZE,), _i32)
+    if p.mode == "X":
+        c["prev_dist"] = jnp.ones((p.lanes,), _i32)
     return c
 
 
@@ -254,10 +283,31 @@ def _common_reads(c, t, n, p: BlockParams):
     return lanes, pos, active, coding, copying, p1, ctx2, h3, pred, conf
 
 
+def _bucket_insert(c, p: BlockParams, rctx, ins, pos, nx4):
+    """Insert (q+1, prefix) for q = pos-3 into circular buckets.  Multiple
+    lanes inserting into one bucket in the same step get consecutive
+    circular slots ordered by lane id (deterministic)."""
+    same = (rctx[:, None] == rctx[None, :]) & ins[None, :]
+    lower = jnp.tril(jnp.ones((p.lanes, p.lanes), bool), k=-1)
+    rank = jnp.sum(same & lower, axis=1)
+    ins = ins & (rank < p.rolz_depth)
+    w_old = c["rolz_w"][rctx]
+    slot = jnp.mod(w_old + rank, p.rolz_depth)
+    safe_r = jnp.where(ins, rctx, 1 << p.rolz_bits)
+    q = pos - 3
+    c["rolz_pos"] = c["rolz_pos"].at[safe_r, slot].set(q + 1, mode="drop")
+    c["rolz_nx4"] = c["rolz_nx4"].at[safe_r, slot].set(nx4, mode="drop")
+    c["rolz_w"] = c["rolz_w"].at[safe_r].add(
+        jnp.where(ins, 1, 0), mode="drop"
+    )
+    return c
+
+
 def _post_step(c, t, n, p: BlockParams, pos, active, byte, is_match, src,
-               sym_len):
+               sym_len, enc_side: bool = True, dist=None):
     """Shared end-of-step state evolution: copy state, context registers,
-    match-table inserts (identical on encode and decode)."""
+    match-table inserts (identical on encode and decode wherever the
+    decoder needs the table; 'X' tables are encoder-private)."""
     new_rem = jnp.where(
         is_match,
         sym_len + (p.min_len - 1),
@@ -275,33 +325,24 @@ def _post_step(c, t, n, p: BlockParams, pos, active, byte, is_match, src,
         "copy_rem": new_rem,
         "copy_src": new_src,
     }
-    if p.mode == "R":
+    if p.mode == "X" and dist is not None:
+        c["prev_dist"] = jnp.where(is_match, dist, c["prev_dist"])
+    if p.mode == "X" and enc_side:
+        # entry for q = pos-3 keyed by its own 4 content bytes (known on
+        # both... only the encoder needs it: distances are explicit)
+        ins = active & (t >= 6)
+        nx4 = _byteswap32(ctx4n)
+        rctx = x_hash4(nx4, p.rolz_bits)
+        c = _bucket_insert(c, p, rctx, ins, pos, nx4)
+    elif p.mode == "R":
         # Insert the entry for position q = pos-3 under context bytes
         # [q-3, q): all of q's 4-byte prefix (bytes q..q+3 = pos-3..pos) is
-        # now known on BOTH sides, so the prefix cache is exact.  Multiple
-        # lanes inserting into one bucket in the same step get consecutive
-        # circular slots ordered by lane id (deterministic).
+        # now known on BOTH sides, so the prefix cache is exact.
         ins = active & (t >= 6)
         key3 = (ctx4bn & 0xFFFFFF).astype(_i32)  # bytes pos-6..pos-4
         rctx = rolz_hash3(key3, p.rolz_bits)
-        same = (rctx[:, None] == rctx[None, :]) & ins[None, :]
-        lower = jnp.tril(jnp.ones((p.lanes, p.lanes), bool), k=-1)
-        rank = jnp.sum(same & lower, axis=1)
-        ins = ins & (rank < p.rolz_depth)
-        w_old = c["rolz_w"][rctx]
-        slot = jnp.mod(w_old + rank, p.rolz_depth)
-        safe_r = jnp.where(ins, rctx, 1 << p.rolz_bits)
-        q = pos - 3
-        c["rolz_pos"] = c["rolz_pos"].at[safe_r, slot].set(
-            q + 1, mode="drop"
-        )
-        c["rolz_nx4"] = c["rolz_nx4"].at[safe_r, slot].set(
-            _byteswap32(ctx4n), mode="drop"
-        )
-        c["rolz_w"] = c["rolz_w"].at[safe_r].add(
-            jnp.where(ins, 1, 0), mode="drop"
-        )
-    else:
+        c = _bucket_insert(c, p, rctx, ins, pos, _byteswap32(ctx4n))
+    elif p.mode == "P":
         # LZP: map context-for-position pos+1 -> pos+1 (stored +1;
         # scatter-max so the newest position wins collisions)
         ins2 = active & (t >= 1) & (t != p.steps - 1) & (pos + 1 < n)
@@ -319,11 +360,24 @@ def _post_step(c, t, n, p: BlockParams, pos, active, byte, is_match, src,
     return c
 
 
-def _rolz_best_match(c, ctx4, pos, t, n, p: BlockParams, inp_flat):
-    """Encoder-side ROLZ candidate search at (ctx4, pos): score all bucket
+def _rolz_best_match(c, ctx4, pos, t, n, p: BlockParams, inp_flat,
+                     x_keyed: bool = False):
+    """Encoder-side candidate search at (ctx4, pos): score all bucket
     entries by 4-byte prefix cache, extend the top-K, return the longest
-    (length, src, recency-index)."""
-    rctx = rolz_hash3((ctx4 & 0xFFFFFF).astype(_i32), p.rolz_bits)
+    (length, src, recency-index).  ``x_keyed`` buckets by the upcoming 4
+    content bytes (LZ77 'X' mode) instead of the preceding 3-byte context
+    (ROLZ 'R' mode)."""
+    if x_keyed:
+        nxt0 = [
+            inp_flat[jnp.clip(pos + k, 0, inp_flat.shape[0] - 1)].astype(
+                _u32
+            )
+            for k in range(4)
+        ]
+        own0 = nxt0[0] | (nxt0[1] << 8) | (nxt0[2] << 16) | (nxt0[3] << 24)
+        rctx = x_hash4(own0, p.rolz_bits)
+    else:
+        rctx = rolz_hash3((ctx4 & 0xFFFFFF).astype(_i32), p.rolz_bits)
     cand_pos = c["rolz_pos"][rctx]  # [S, D]
     cand_nx4 = c["rolz_nx4"][rctx]  # [S, D]
     nxt = [
@@ -379,6 +433,34 @@ def _match_window_len(inp_flat, pos, src, t, n, p: BlockParams):
     return jnp.minimum(length, cap)
 
 
+def _dist_extra_events(dist, k_dist, has_extra):
+    """Uniform rANS events carrying a distance's mantissa bits: e_hi (up to
+    12 bits) and e_lo (up to 12 bits); dist = 2^k + (e_hi << b_lo) + e_lo.
+    A uniform b-bit value v codes as the normalized pair
+    (v << (15-b), 1 << (15-b)) — exactly b bits, no model."""
+    e = dist - jnp.left_shift(jnp.ones_like(dist), k_dist)
+    b_lo = jnp.minimum(k_dist, 12)
+    b_hi = k_dist - b_lo
+    e_hi = (e >> b_lo).astype(_u32)
+    e_lo = (e & (jnp.left_shift(jnp.ones_like(dist), b_lo) - 1)).astype(_u32)
+    act_d = has_extra & (b_hi > 0)
+    act_e = has_extra & (b_lo > 0)
+    fd = jnp.left_shift(jnp.uint32(1), (15 - b_hi).astype(_u32))
+    fe = jnp.left_shift(jnp.uint32(1), (15 - b_lo).astype(_u32))
+    cd = e_hi * fd
+    ce = e_lo * fe
+    cd, fd = rans.select_cf(act_d, cd, fd)
+    ce, fe = rans.select_cf(act_e, ce, fe)
+    return (
+        cd.astype(jnp.uint16),
+        fd.astype(jnp.uint16),
+        act_d,
+        ce.astype(jnp.uint16),
+        fe.astype(jnp.uint16),
+        act_e,
+    )
+
+
 # --------------------------------------------------------------------------
 # Encode pass 1: forward modeling scan -> normalized (c, f) event grids
 # --------------------------------------------------------------------------
@@ -392,7 +474,36 @@ def _encode_model_body(p: BlockParams, inp, inp_flat, n, c, t):
     byte = byte.astype(_i32)
 
     sym_idx = jnp.zeros((p.lanes,), _i32)
-    if p.match and p.mode == "R":
+    dist = jnp.ones((p.lanes,), _i32)
+    if p.match and p.mode == "X":
+        # LZ77: bucket keyed by the upcoming 4 content bytes; the table is
+        # encoder-private because the distance is coded explicitly
+        # (roxmain's hash-chain search, re-expressed as fixed-depth
+        # buckets + top-K extension + lazy probe).
+        length, src, _ = _rolz_best_match(
+            c, c["ctx4"], pos, t, n, p, inp_flat, x_keyed=True
+        )
+        cur_byte = inp_flat[jnp.clip(pos, 0, inp_flat.shape[0] - 1)]
+        len_next, _, _ = _rolz_best_match(
+            c,
+            (c["ctx4"] << 8) | cur_byte.astype(_u32),
+            pos + 1,
+            t,
+            n,
+            p,
+            inp_flat,
+            x_keyed=True,
+        )
+        ok = (src >= 0) & (src < pos)
+        length = jnp.where(ok, length, 0)
+        do_match = (
+            coding
+            & (t >= 7)
+            & (length >= p.min_len)
+            & (len_next <= length + 1)
+        )
+        dist = jnp.where(do_match, pos - src, 1)
+    elif p.match and p.mode == "R":
         # ROLZ candidate scoring: compare each bucket entry's 4-byte prefix
         # cache against the upcoming input bytes; extend the top-K
         # prefix-matching candidates and keep the longest (the vectorized
@@ -456,12 +567,25 @@ def _encode_model_body(p: BlockParams, inp, inp_flat, n, c, t):
         tbs, p1, rows2, pred, is_esc
     )
     c1_raw, f1_raw = tb.cum_frq_of(wmod, cums1, byte)
+    sym_dst = jnp.zeros((p.lanes,), _i32)
+    repeat = jnp.zeros((p.lanes,), bool)
+    k_dist = jnp.zeros((p.lanes,), _i32)
     if p.mode == "R":
         tbs, rows_i, cums_i, tot_i = ppm.read_idx(tbs, is_match)
         ci_raw, fi_raw = tb.cum_frq_of(rows_i, cums_i, sym_idx)
         cb_raw = jnp.where(is_esc, c1_raw, ci_raw)
         fb_raw = jnp.where(is_esc, f1_raw, fi_raw)
         tot_b = jnp.where(is_esc, tot1, tot_i)
+        act_b = is_esc | is_match
+    elif p.mode == "X":
+        k_dist = _dist_bucket(dist)
+        repeat = is_match & (dist == c["prev_dist"])
+        sym_dst = jnp.where(repeat, SYM_DST_REPEAT, k_dist)
+        tbs, rows_d, cums_d, tot_d = ppm.read_dst(tbs, is_match)
+        cd_raw, fd_raw = tb.cum_frq_of(rows_d, cums_d, sym_dst)
+        cb_raw = jnp.where(is_esc, c1_raw, cd_raw)
+        fb_raw = jnp.where(is_esc, f1_raw, fd_raw)
+        tot_b = jnp.where(is_esc, tot1, tot_d)
         act_b = is_esc | is_match
     else:
         cb_raw, fb_raw, tot_b = c1_raw, f1_raw, tot1
@@ -483,12 +607,15 @@ def _encode_model_body(p: BlockParams, inp, inp_flat, n, c, t):
     # ---- model updates + state evolution
     tbs = ppm.apply_updates(
         tbs, coding, ctx2, sym_a, byte, f_byte, p1, h3, pred, conf,
-        sym_len, sym_idx,
+        sym_len, sym_idx, sym_dst if p.mode == "X" else None,
     )
     c = dict(c)
     c["tables"] = tbs
-    c = _post_step(c, t, n, p, pos, active, byte, is_match, src, sym_len)
-    out = (
+    c = _post_step(
+        c, t, n, p, pos, active, byte, is_match, src, sym_len,
+        enc_side=True, dist=dist,
+    )
+    out = [
         ca.astype(jnp.uint16),
         fa.astype(jnp.uint16),
         coding,
@@ -498,49 +625,52 @@ def _encode_model_body(p: BlockParams, inp, inp_flat, n, c, t):
         cc.astype(jnp.uint16),
         fc.astype(jnp.uint16),
         is_match,
+    ]
+    if p.mode == "X":
+        cd, fd, act_d, ce, fe, act_e = _dist_extra_events(
+            dist, k_dist, is_match & ~repeat
+        )
+        out += [cd, fd, act_d, ce, fe, act_e]
+    out += [
         sym_a.astype(jnp.int16),
         jnp.where(is_match, length, 0).astype(jnp.int16),
-    )
-    return c, out
+    ]
+    return c, tuple(out)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _encode_passes(p: BlockParams, inp, n):
     """Pass 1 (modeling) + pass 2 (backward rANS).  Returns device arrays:
-    (states [S] u32, emit [T,3,S] bool, words [T,3,S] u16, debug)."""
+    (states [S] u32, emit [T,n_slots,S] bool, words [T,n_slots,S] u16,
+    debug)."""
     inp_flat = inp.reshape(-1)
-    carry = _init_carry(p)
+    carry = _init_carry(p, enc_side=True)
     body = functools.partial(_encode_model_body, p, inp, inp_flat, n)
     carry, ev = jax.lax.scan(body, carry, jnp.arange(p.steps, dtype=_i32))
-    ca, fa, act_a, cb, fb, act_b, cc, fc, act_c, sym_a, mlen = ev
+    n_slots = p.n_slots
+    slot_grids = ev[: 3 * n_slots]
 
     def rans_body(x, e):
-        ca_t, fa_t, aa_t, cb_t, fb_t, ab_t, cc_t, fc_t, ac_t = e
-        # backward: C, then B, then A (decode order is A, B, C)
-        cc_v, fc_v = rans.select_cf(
-            ac_t, cc_t.astype(_u32), jnp.maximum(fc_t, 1).astype(_u32)
-        )
-        x, emit_c, word_c = rans.enc_put(x, cc_v, fc_v)
-        cb_v, fb_v = rans.select_cf(
-            ab_t, cb_t.astype(_u32), jnp.maximum(fb_t, 1).astype(_u32)
-        )
-        x, emit_b, word_b = rans.enc_put(x, cb_v, fb_v)
-        ca_v, fa_v = rans.select_cf(
-            aa_t, ca_t.astype(_u32), jnp.maximum(fa_t, 1).astype(_u32)
-        )
-        x, emit_a, word_a = rans.enc_put(x, ca_v, fa_v)
+        # backward over slots (decode order is A, B, C[, D, E])
+        emits, wordss = [], []
+        for si in reversed(range(n_slots)):
+            cx, fx, ax = e[3 * si], e[3 * si + 1], e[3 * si + 2]
+            cv, fv = rans.select_cf(
+                ax, cx.astype(_u32), jnp.maximum(fx, 1).astype(_u32)
+            )
+            x, em, wd = rans.enc_put(x, cv, fv)
+            emits.append(em)
+            wordss.append(wd)
         return x, (
-            jnp.stack([emit_a, emit_b, emit_c]),
-            jnp.stack([word_a, word_b, word_c]),
+            jnp.stack(emits[::-1]),
+            jnp.stack(wordss[::-1]),
         )
 
     x = rans.init_states(p.lanes)
     x, (emit, words) = jax.lax.scan(
-        rans_body, x, (ca, fa, act_a, cb, fb, act_b, cc, fc, act_c),
-        reverse=True,
+        rans_body, x, slot_grids, reverse=True
     )
-    return x, emit, words, (ca, fa, act_a, cb, fb, act_b, cc, fc, act_c,
-                            sym_a, mlen)
+    return x, emit, words, ev
 
 
 # --------------------------------------------------------------------------
@@ -587,6 +717,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     tgt1 = rans.dec_target(slot_b, jnp.maximum(tot1, 1))
     sym1, c1_raw, f1_raw = tb.find_symbol(wmod, cums1, tgt1.astype(_i32))
     sym_idx = jnp.zeros((p.lanes,), _i32)
+    sym_dst = jnp.zeros((p.lanes,), _i32)
     if p.mode == "R":
         tbs, rows_i, cums_i, tot_i = ppm.read_idx(tbs, is_match)
         tgt_i = rans.dec_target(slot_b, jnp.maximum(tot_i, 1))
@@ -597,6 +728,17 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
         cb_raw = jnp.where(is_esc, c1_raw, ci_raw)
         fb_raw = jnp.where(is_esc, f1_raw, fi_raw)
         tot_b = jnp.where(is_esc, tot1, tot_i)
+        act_b = is_esc | is_match
+    elif p.mode == "X":
+        tbs, rows_d, cums_d, tot_d = ppm.read_dst(tbs, is_match)
+        tgt_d = rans.dec_target(slot_b, jnp.maximum(tot_d, 1))
+        sym_d, cd_raw, fd_raw = tb.find_symbol(
+            rows_d, cums_d, tgt_d.astype(_i32)
+        )
+        sym_dst = sym_d
+        cb_raw = jnp.where(is_esc, c1_raw, cd_raw)
+        fb_raw = jnp.where(is_esc, f1_raw, fd_raw)
+        tot_b = jnp.where(is_esc, tot1, tot_d)
         act_b = is_esc | is_match
     else:
         cb_raw, fb_raw, tot_b = c1_raw, f1_raw, tot1
@@ -618,10 +760,39 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     cc, fc = rans.select_cf(is_match, cc, fc)
     x, base = advance(x, base, cc, fc)
 
+    # ---- D/E events: distance mantissa bits (mode 'X')
+    dist = jnp.ones((p.lanes,), _i32)
+    if p.mode == "X":
+        repeat = is_match & (sym_dst == SYM_DST_REPEAT)
+        # clamp: garbage sym_dst on non-match lanes must not drive shift
+        # amounts negative (div-by-zero on masked lanes)
+        k_dist = jnp.clip(jnp.where(repeat, 0, sym_dst), 0, 24)
+        b_lo = jnp.minimum(k_dist, 12)
+        b_hi = k_dist - b_lo
+        has_extra = is_match & ~repeat
+        act_d = has_extra & (b_hi > 0)
+        fd = jnp.left_shift(jnp.uint32(1), (15 - b_hi).astype(_u32))
+        e_hi = jnp.where(act_d, rans.dec_slot(x) // fd, 0).astype(_i32)
+        cdx, fdx = rans.select_cf(act_d, e_hi.astype(_u32) * fd, fd)
+        x, base = advance(x, base, cdx, fdx)
+        act_e = has_extra & (b_lo > 0)
+        fe = jnp.left_shift(jnp.uint32(1), (15 - b_lo).astype(_u32))
+        e_lo = jnp.where(act_e, rans.dec_slot(x) // fe, 0).astype(_i32)
+        cex, fex = rans.select_cf(act_e, e_lo.astype(_u32) * fe, fe)
+        x, base = advance(x, base, cex, fex)
+        dist_dec = (
+            jnp.left_shift(jnp.ones_like(k_dist), k_dist)
+            + jnp.left_shift(e_hi, b_lo)
+            + e_lo
+        )
+        dist = jnp.where(repeat, c["prev_dist"], dist_dec)
+
     # ---- resolve the byte
     if p.mode == "R":
         rctx = _rolz_ctx(c, p)
         src = _rolz_src_of_idx(c, rctx, sym_idx, p)
+    elif p.mode == "X":
+        src = pos - dist
     else:
         src, _ok = _lzp_candidate(c, t, p, out_flat)
     gsrc = jnp.clip(
@@ -639,12 +810,13 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     tbs = ppm.apply_updates(
         tbs, coding, ctx2, sym_a, byte, f_byte, p1, h3, pred, conf,
         jnp.where(is_match, sym_l, 0), sym_idx,
+        sym_dst if p.mode == "X" else None,
     )
     c = dict(c)
     c["tables"] = tbs
     c = _post_step(
         c, t, n, p, pos, active, byte, is_match, src,
-        jnp.where(is_match, sym_l, 0),
+        jnp.where(is_match, sym_l, 0), enc_side=False, dist=dist,
     )
     col = jnp.where(active, byte, 0).astype(jnp.uint8)
     out = jax.lax.dynamic_update_slice(out, col[:, None], (0, t))
@@ -654,7 +826,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
 @functools.partial(jax.jit, static_argnums=(0,))
 def _decode_scan(p: BlockParams, states, stream, n):
     carry = (
-        _init_carry(p),
+        _init_carry(p, enc_side=False),
         states,
         jnp.uint32(0),
         jnp.zeros((p.lanes, p.steps), jnp.uint8),
@@ -696,15 +868,24 @@ def encode_block_stats(data: np.ndarray, p: BlockParams) -> dict:
     buf = np.zeros((p.lanes, p.steps), np.uint8)
     buf.reshape(-1)[:n] = data
     _, emit, words, dbg = _encode_passes(p, jnp.asarray(buf), jnp.int32(n))
-    (ca, fa, act_a, cb, fb, act_b, cc, fc, act_c, sym_a, mlen) = map(
-        np.asarray, dbg
-    )
+    grids = [np.asarray(g) for g in dbg]
+    ns = p.n_slots
+    sym_a, mlen = grids[3 * ns], grids[3 * ns + 1]
+    ca, fa, act_a = grids[0:3]
+    cb, fb, act_b = grids[3:6]
+    cc, fc, act_c = grids[6:9]
     act_a = act_a.astype(bool)
     act_b = act_b.astype(bool)
     act_c = act_c.astype(bool)
     bits_a = np.where(act_a, 15.0 - np.log2(np.maximum(fa, 1)), 0.0)
     bits_b = np.where(act_b, 15.0 - np.log2(np.maximum(fb, 1)), 0.0)
     bits_c = np.where(act_c, 15.0 - np.log2(np.maximum(fc, 1)), 0.0)
+    bits_extra = 0.0
+    for si in range(3, ns):
+        fx, ax = grids[3 * si + 1], grids[3 * si + 2].astype(bool)
+        bits_extra += float(
+            np.where(ax, 15.0 - np.log2(np.maximum(fx, 1)), 0.0).sum()
+        )
     is_lit = act_a & (sym_a < 256)
     is_hit = act_a & (sym_a == ppm.SYM_HIT)
     is_esc = act_a & (sym_a == ppm.SYM_ESC)
@@ -726,6 +907,7 @@ def encode_block_stats(data: np.ndarray, p: BlockParams) -> dict:
         "bits_match_flag": float(bits_a[is_mat].sum()),
         "bits_match_idx": float(bits_b[act_b & is_mat].sum()),
         "bits_match_len": float(bits_c[is_mat & act_c].sum()),
+        "bits_match_extra": bits_extra,
         "stream_words": int(np.asarray(emit).sum()),
     }
     total_bits = sum(v for k, v in stats.items() if k.startswith("bits_"))

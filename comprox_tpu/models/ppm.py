@@ -59,6 +59,9 @@ LEN_INC = _env("LEN_INC", 16)
 LEN_CAP = 24576
 IDX_INC = _env("IDX_INC", 16)  # ROLZ index model (ref: 4, cr-coder.c:282)
 IDX_CAP = 24576
+DST_INC = _env("DST_INC", 16)  # LZ77 distance-bucket model (~roxmain's
+DST_CAP = 24576  # chained pos_models, roxmain/cr-coder.c:242-258)
+DST_W = 32  # buckets 0..23 = bit_length(dist)-1, 24 = repeat-prev
 IDX_W = 64
 O2_NCTX = 1 << 16
 O1_NCTX = 256
@@ -87,11 +90,13 @@ def init_tables(match_enabled: bool, o3_bits: int = 22) -> dict:
         "o3": jnp.zeros((o3_size,), _i32),  # conf<<8 | pred, init pred=0 conf=0
         "len": tb.make_table(1, LEN_W, jnp.ones((LEN_W,), _i32)),
         "idx": tb.make_table(1, IDX_W, jnp.ones((IDX_W,), _i32)),
+        "dst": tb.make_table(1, DST_W, jnp.ones((DST_W,), _i32)),
         "sc_o2": jnp.full((O2_NCTX,), sent, _i32),
         "sc_o1": jnp.full((O1_NCTX,), sent, _i32),
         "sc_o3": jnp.full((o3_size,), sent, _i32),
         "sc_len": jnp.full((1,), sent, _i32),
         "sc_idx": jnp.full((1,), sent, _i32),
+        "sc_dst": jnp.full((1,), sent, _i32),
     }
 
 
@@ -154,6 +159,12 @@ def read_idx(t, match_mask):
     return _read_shared(t, match_mask, "idx", IDX_CAP)
 
 
+def read_dst(t, match_mask):
+    """Shared LZ77 distance-bucket distribution (B event of match lanes in
+    mode 'X'; the analogue of roxmain's chained pos_models)."""
+    return _read_shared(t, match_mask, "dst", DST_CAP)
+
+
 def _read_shared(t, mask, key, cap):
     zeros = jnp.zeros_like(mask, _i32)
     rows = t[key][zeros]
@@ -179,6 +190,7 @@ def apply_updates(
     conf,
     sym_len,
     sym_idx=None,
+    sym_dst=None,
 ):
     """All model updates for one step, after both events are coded.
 
@@ -219,6 +231,8 @@ def apply_updates(
     t["len"] = tb.scatter_add(t["len"], zeros, sym_len, LEN_INC, is_match)
     if sym_idx is not None:
         t["idx"] = tb.scatter_add(t["idx"], zeros, sym_idx, IDX_INC, is_match)
+    if sym_dst is not None:
+        t["dst"] = tb.scatter_add(t["dst"], zeros, sym_dst, DST_INC, is_match)
 
     # --- o3 predictor: hit strengthens, miss decays/replaces ----------------
     # (cr-ppm.c:69-88; matches don't touch o3)

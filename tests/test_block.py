@@ -12,7 +12,12 @@ from comprox_tpu.codec.block import BlockParams, decode_block, encode_block
 
 SMALL = BlockParams(lanes=8, steps=64, match=True, min_len=6, window=32,
                     o3_bits=14)
+SMALL_R = BlockParams(lanes=8, steps=64, mode="R", min_len=5, window=32,
+                      o3_bits=14, rolz_bits=10, rolz_depth=16)
+SMALL_X = BlockParams(lanes=8, steps=64, mode="X", min_len=6, window=32,
+                      o3_bits=14, rolz_bits=10, rolz_depth=16)
 SMALL_NOMATCH = BlockParams(lanes=8, steps=64, match=False, o3_bits=14)
+ALL_MODES = {"P": SMALL, "R": SMALL_R, "X": SMALL_X}
 
 
 def roundtrip(data: np.ndarray, p: BlockParams) -> bytes:
@@ -42,14 +47,16 @@ def corpus(name: str, n: int, seed: int = 0) -> np.ndarray:
     raise KeyError(name)
 
 
+@pytest.mark.parametrize("mode", ["P", "R", "X"])
 @pytest.mark.parametrize("name", ["random", "zeros", "text", "period7", "lowentropy"])
-def test_roundtrip_full_block(name):
-    roundtrip(corpus(name, SMALL.capacity, seed=1), SMALL)
+def test_roundtrip_full_block(name, mode):
+    roundtrip(corpus(name, SMALL.capacity, seed=1), ALL_MODES[mode])
 
 
+@pytest.mark.parametrize("mode", ["P", "R", "X"])
 @pytest.mark.parametrize("n", [1, 2, 7, 63, 64, 65, 100, 511, 512])
-def test_roundtrip_partial_block(n):
-    roundtrip(corpus("text", n, seed=2), SMALL)
+def test_roundtrip_partial_block(n, mode):
+    roundtrip(corpus("text", n, seed=2), ALL_MODES[mode])
 
 
 def test_roundtrip_no_match_layer(self=None):
