@@ -81,7 +81,7 @@ def read_header(f: BinaryIO) -> tuple[ContainerParams, int]:
     bp = BlockParams(
         lanes=lanes,
         steps=steps,
-        mode="R" if codec == b"R" else "P",
+        mode={b"R": "R", b"X": "X"}.get(codec, "P"),
         match=bool(match),
         min_len=min_len,
         o3_bits=o3_bits,
