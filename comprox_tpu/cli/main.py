@@ -36,6 +36,7 @@ switches:
   -F     enable content filters
   -p     dictionary precompress only
   -q     quiet mode
+  -j[n]  encode blocks data-parallel over n (default: all) devices
 """
 
 CODEC_BYTE = {"crp": b"P", "crx": b"X", "crz": b"R"}
@@ -46,7 +47,7 @@ def parse_args(argv):
     args = [a for a in argv[1:] if not a.startswith("-")]
     switches = [a for a in argv[1:] if a.startswith("-")]
     opts = {"block_mb": 16, "lanes": 256, "filters": False, "quiet": False,
-            "precomp": False}
+            "precomp": False, "jobs": 0}
     for s in switches:
         if s.startswith("-b"):
             opts["block_mb"] = float(s[2:])
@@ -58,6 +59,8 @@ def parse_args(argv):
             opts["precomp"] = True
         elif s == "-q":
             opts["quiet"] = True
+        elif s.startswith("-j"):
+            opts["jobs"] = int(s[2:] or "0") or -1
         else:
             raise SystemExit(USAGE.format(prog=prog))
     if len(args) != 3 or args[0] not in ("e", "d"):
@@ -95,8 +98,17 @@ def run(codec_name: str, argv) -> int:
     if mode == "e":
         data = np.fromfile(inp, np.uint8)
         cp = make_params(codec_name, opts)
+        mesh = None
+        if opts["jobs"]:
+            import jax
+            from comprox_tpu.parallel.mesh import make_mesh
+
+            nd = len(jax.devices())
+            mesh = make_mesh(None if opts["jobs"] < 0 else min(opts["jobs"], nd))
         with open(outp, "wb") as f:
-            csize = encode_stream(data, f, cp, filters=opts["filters"])
+            csize = encode_stream(
+                data, f, cp, filters=opts["filters"], mesh=mesh
+            )
         dt = max(time.time() - t0, 1e-9)
         # same per-run stats as the reference driver (src/main.c:318-329)
         log(quiet, f"encode-speed: {data.size / dt / 1e6:.2f} MB/s")

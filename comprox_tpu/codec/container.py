@@ -104,11 +104,15 @@ def encode_stream(
     progress: Optional[Callable[[int, int], None]] = None,
     filters: bool = False,
     dictionary: bool = True,
+    mesh=None,
 ) -> int:
-    """Encode ``src`` into ``dst``; returns compressed byte count."""
+    """Encode ``src`` into ``dst``; returns compressed byte count.
+
+    With ``mesh`` set, blocks are coded data-parallel across the mesh in
+    device-count groups (bit-identical payloads to the sequential path).
+    """
     from comprox_tpu.codec import dictionary as dic
 
-    encode_fn = encode_fn or (lambda blk: encode_block(blk, cp.block))
     # whole-file pass #1: build the word dictionary (src/main.c:158 ->
     # cr-dicpick.c); broadcast-equivalent: the blob rides the header
     wd = dic.build_dictionary(src) if dictionary else None
@@ -119,8 +123,9 @@ def encode_stream(
         blob = dic.pack_dict(wd)
         dst.write(struct.pack("<I", len(blob)) + blob)
         written += 4 + len(blob)
-    total = src.size
-    done = 0
+
+    # stage 1: host-side transforms per block (filters, dictionary)
+    staged = []  # (raw_blk, blk_to_code, prefix, bflags)
     for raw_blk in iter_blocks(src, cp.block.capacity):
         blk = raw_blk
         bflags = 0
@@ -139,7 +144,25 @@ def encode_stream(
                 blk = sub
                 prefix += struct.pack("<I", sub.size)
                 bflags |= BF_DICT
-        payload = prefix + encode_fn(blk)
+        staged.append((raw_blk, blk, prefix, bflags))
+
+    # stage 2: device coding — sequential or mesh-grouped
+    if encode_fn is not None:
+        payloads = [encode_fn(blk) for _, blk, _, _ in staged]
+    elif mesh is not None:
+        from comprox_tpu.parallel.mesh import encode_blocks_list
+
+        payloads = encode_blocks_list(
+            [blk for _, blk, _, _ in staged], cp.block, mesh
+        )
+    else:
+        payloads = [encode_block(blk, cp.block) for _, blk, _, _ in staged]
+
+    # stage 3: ordered write with stored fallback
+    total = src.size
+    done = 0
+    for (raw_blk, blk, prefix, bflags), coded in zip(staged, payloads):
+        payload = prefix + coded
         if len(payload) >= raw_blk.size:  # stored fallback, raw unfiltered
             payload, bflags = raw_blk.tobytes(), BF_STORED
         dst.write(struct.pack("<IIB", raw_blk.size, len(payload), bflags))

@@ -82,7 +82,6 @@ def init_tables(match_enabled: bool, o3_bits: int = 22) -> dict:
     o2_row = o2_row.at[SYM_HIT].set(INC2).at[SYM_ESC].set(INC2)
     if match_enabled:
         o2_row = o2_row.at[SYM_MATCH].set(INC2)
-    sent = jnp.int32(2**31 - 1)
     o3_size = 1 << o3_bits
     return {
         "o2": tb.make_table(O2_NCTX, O2_W, o2_row),
@@ -91,12 +90,6 @@ def init_tables(match_enabled: bool, o3_bits: int = 22) -> dict:
         "len": tb.make_table(1, LEN_W, jnp.ones((LEN_W,), _i32)),
         "idx": tb.make_table(1, IDX_W, jnp.ones((IDX_W,), _i32)),
         "dst": tb.make_table(1, DST_W, jnp.ones((DST_W,), _i32)),
-        "sc_o2": jnp.full((O2_NCTX,), sent, _i32),
-        "sc_o1": jnp.full((O1_NCTX,), sent, _i32),
-        "sc_o3": jnp.full((o3_size,), sent, _i32),
-        "sc_len": jnp.full((1,), sent, _i32),
-        "sc_idx": jnp.full((1,), sent, _i32),
-        "sc_dst": jnp.full((1,), sent, _i32),
     }
 
 
@@ -120,9 +113,7 @@ def read_o2(t, ctx2, pred, coding):
     rows = t["o2"][ctx2]
     rows, did = tb.rescale_read(rows, CAP2, _STICKY2)
     t = dict(t)
-    t["o2"], t["sc_o2"] = tb.write_rows_dedup(
-        t["o2"], ctx2, rows, did & coding, t["sc_o2"]
-    )
+    t["o2"] = tb.write_rows_dedup(t["o2"], ctx2, rows, did & coding)
     esc = jnp.maximum(rows[:, SYM_ESC], 1)
     rows = rows.at[:, SYM_ESC].set(esc)
     slot_ids = jax.lax.broadcasted_iota(_i32, rows.shape, 1)
@@ -137,9 +128,7 @@ def read_o1_excl(t, p1, o2_rows, pred, esc_mask):
     rows = t["o1"][p1]
     rows, did = tb.rescale_read(rows, CAP1, _STICKY_ALL)
     t = dict(t)
-    t["o1"], t["sc_o1"] = tb.write_rows_dedup(
-        t["o1"], p1, rows, did & esc_mask, t["sc_o1"]
-    )
+    t["o1"] = tb.write_rows_dedup(t["o1"], p1, rows, did & esc_mask)
     w = rows * 8 - 7  # cr-ppm.c:98 M_freq_o1
     slot_ids = jax.lax.broadcasted_iota(_i32, rows.shape, 1)
     excluded = (o2_rows[:, :256] > 0) | (slot_ids == pred[:, None])
@@ -170,9 +159,7 @@ def _read_shared(t, mask, key, cap):
     rows = t[key][zeros]
     rows, did = tb.rescale_read(rows, cap, _STICKY_ALL)
     t = dict(t)
-    t[key], t["sc_" + key] = tb.write_rows_dedup(
-        t[key], zeros, rows, did & mask, t["sc_" + key]
-    )
+    t[key] = tb.write_rows_dedup(t[key], zeros, rows, did & mask)
     cums = tb.exclusive_cumsum(rows)
     return t, rows, cums, tb.row_total(rows)
 
@@ -248,7 +235,7 @@ def apply_updates(
         is_hit, jnp.minimum(conf + 1, 15), jnp.maximum(nc, 1)
     )
     packed = (new_conf << 8) | new_pred
-    winners, t["sc_o3"] = tb.elect_winners(t["sc_o3"], h3, o3_upd)
+    winners = tb.elect_winners(h3, o3_upd)
     safe_h = jnp.where(winners, h3, t["o3"].shape[0])
     t["o3"] = t["o3"].at[safe_h].set(packed, mode="drop")
     return t

@@ -18,8 +18,7 @@ sequence.  Three mechanisms:
 
 3.  **winner dedup** — non-additive writes (halved rows, o3 predictor slots)
     from colliding lanes are resolved by electing the minimum lane index per
-    target via a scatter-min on a scratch array; only winners write, and the
-    scratch is restored by re-scattering a sentinel at the same indices.
+    target via a stable sort over the S lane keys; only winners write.
 
 All tables are int32: sums stay well below 2^31 even with transient growth,
 and signed arithmetic lets corrective updates (escape elimination,
@@ -62,31 +61,39 @@ def rescale_read(rows, cap: int, sticky_mask):
     return rows, did
 
 
-def elect_winners(scratch, idx, mask, lane_ids=None):
-    """Deterministically pick one lane per distinct ``idx`` among ``mask``.
+def elect_winners(idx, mask):
+    """Deterministically pick one lane per distinct ``idx`` among ``mask``
+    (the minimum lane index wins, matching sequential tie-breaking).
 
-    ``scratch`` is a persistent int32 array (carried through the scan) whose
-    entries are all ``_SENTINEL`` between steps.  Returns (winner_mask,
-    restored_scratch).
+    Sort-based: a stable argsort over S keys costs O(S log S) on small
+    per-lane vectors and — unlike the scatter-min/restore scratch pattern —
+    touches no large arrays (scatters on multi-MB scan carries forced
+    whole-array copies every step on TPU).
     """
     s = idx.shape[0]
-    if lane_ids is None:
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).reshape(s)
-    cand = jnp.where(mask, lane_ids, _SENTINEL)
-    safe_idx = jnp.where(mask, idx, 0)
-    scratch2 = scratch.at[safe_idx].min(cand, mode="drop")
-    winners = mask & (scratch2[safe_idx] == lane_ids)
-    # restore sentinel so the scratch is clean for the next step
-    restored = scratch2.at[safe_idx].set(_SENTINEL, mode="drop")
-    return winners, restored
+    if s <= 1024:
+        # O(S^2) masked compare: pure elementwise VPU work that fuses,
+        # beating both sort lowering and scatter-based scratch patterns
+        dup = (
+            (idx[:, None] == idx[None, :])
+            & mask[None, :]
+            & jnp.tril(jnp.ones((s, s), bool), k=-1)
+        )
+        return mask & ~jnp.any(dup, axis=1)
+    key = jnp.where(mask, idx, _SENTINEL)
+    order = jnp.argsort(key)  # stable: equal keys keep lane order
+    sk = key[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    winner_sorted = first & (sk != _SENTINEL)
+    return jnp.zeros((s,), bool).at[order].set(winner_sorted)
 
 
-def write_rows_dedup(table, ctx, rows, mask, scratch):
+def write_rows_dedup(table, ctx, rows, mask):
     """Write whole rows back for (deduplicated) lanes flagged in ``mask``."""
-    winners, scratch = elect_winners(scratch, ctx, mask)
+    winners = elect_winners(ctx, mask)
     safe_ctx = jnp.where(winners, ctx, table.shape[0])  # OOB rows dropped
     table = table.at[safe_ctx].set(rows, mode="drop")
-    return table, scratch
+    return table
 
 
 def scatter_add(table, ctx, sym, delta, mask):

@@ -118,6 +118,35 @@ def encode_blocks(
     return payloads
 
 
+def encode_blocks_list(
+    blocks: list[np.ndarray], p: BlockParams, mesh: Mesh
+) -> list[bytes]:
+    """Encode an explicit list of (variable-size) blocks in device-count
+    groups; payloads are bit-identical to per-block encode_block calls."""
+    ndev = mesh.devices.size
+    out: list[bytes] = []
+    for g in range(0, len(blocks), ndev):
+        group = blocks[g : g + ndev]
+        npad = ndev
+        buf = np.zeros((npad, p.lanes, p.steps), np.uint8)
+        ns = np.zeros((npad,), np.int32)
+        for i, blk in enumerate(group):
+            buf[i].reshape(-1)[: blk.size] = blk
+            ns[i] = blk.size
+        states, emit, words = _encode_blocks_sharded(
+            p, mesh, jnp.asarray(buf), jnp.asarray(ns)
+        )
+        states, emit, words = map(np.asarray, (states, emit, words))
+        for i in range(len(group)):
+            stream = words[i][emit[i]]
+            out.append(
+                np.array([stream.size], np.uint32).tobytes()
+                + states[i].astype("<u4").tobytes()
+                + stream.astype("<u2").tobytes()
+            )
+    return out
+
+
 def decode_blocks(
     payloads: list[bytes], ns: list[int], p: BlockParams, mesh: Mesh
 ) -> np.ndarray:

@@ -46,3 +46,17 @@ def test_graft_entry_dryrun():
 
     jax.jit(fn).lower(*args)  # compile-check single device
     ge.dryrun_multichip(4)
+
+
+def test_mesh_encode_stream_matches_sequential():
+    """encode_stream(mesh=...) must produce a byte-identical archive."""
+    import io
+
+    from comprox_tpu.codec.container import ContainerParams, encode_stream
+
+    cp = ContainerParams(codec=b"P", block=P_SMALL)
+    data = _data(P_SMALL.capacity * 5 + 17, seed=9)
+    seq, par = io.BytesIO(), io.BytesIO()
+    encode_stream(data, seq, cp, dictionary=True)
+    encode_stream(data, par, cp, dictionary=True, mesh=make_mesh(4))
+    assert seq.getvalue() == par.getvalue()
