@@ -360,31 +360,36 @@ def _post_step(c, t, n, p: BlockParams, pos, active, byte, is_match, src,
     return c
 
 
-def _rolz_best_match(c, ctx4, pos, t, n, p: BlockParams, inp_flat,
-                     x_keyed: bool = False):
-    """Encoder-side candidate search at (ctx4, pos): score all bucket
-    entries by 4-byte prefix cache, extend the top-K, return the longest
-    (length, src, recency-index).  ``x_keyed`` buckets by the upcoming 4
-    content bytes (LZ77 'X' mode) instead of the preceding 3-byte context
-    (ROLZ 'R' mode)."""
+def _prefix_len(cur_win, cand):
+    """Length of the common prefix per lane: count positions before the
+    first mismatch (prefix-AND via an MXU cumsum of mismatches)."""
+    neq = (cand != cur_win).astype(jnp.int32)
+    incl = tb.exclusive_cumsum(neq) + neq
+    return jnp.sum((incl == 0).astype(_i32), axis=-1)
+
+
+PROBE = 32  # phase-1 candidate probe depth (full window only for winner)
+
+
+def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_flat, cur_win,
+                     x_keyed: bool = False, probe_only: bool = False,
+                     ctx4_override=None):
+    """Encoder-side candidate search at pos: score all bucket entries by
+    4-byte prefix cache, probe the top-K to PROBE bytes, fully extend only
+    the winner.  ``cur_win`` is the upcoming-bytes window (a contiguous
+    slice — matches never cross the chunk end, so no gather is needed).
+    ``x_keyed`` buckets by the upcoming 4 content bytes (LZ77 'X' mode)
+    instead of the preceding 3-byte context (ROLZ 'R' mode).
+    Returns (length, src, recency-index)."""
+    nx = cur_win[:, :4].astype(_u32)
+    own_nx4 = nx[:, 0] | (nx[:, 1] << 8) | (nx[:, 2] << 16) | (nx[:, 3] << 24)
     if x_keyed:
-        nxt0 = [
-            inp_flat[jnp.clip(pos + k, 0, inp_flat.shape[0] - 1)].astype(
-                _u32
-            )
-            for k in range(4)
-        ]
-        own0 = nxt0[0] | (nxt0[1] << 8) | (nxt0[2] << 16) | (nxt0[3] << 24)
-        rctx = x_hash4(own0, p.rolz_bits)
+        rctx = x_hash4(own_nx4, p.rolz_bits)
     else:
+        ctx4 = c["ctx4"] if ctx4_override is None else ctx4_override
         rctx = rolz_hash3((ctx4 & 0xFFFFFF).astype(_i32), p.rolz_bits)
     cand_pos = c["rolz_pos"][rctx]  # [S, D]
     cand_nx4 = c["rolz_nx4"][rctx]  # [S, D]
-    nxt = [
-        inp_flat[jnp.clip(pos + k, 0, inp_flat.shape[0] - 1)].astype(_u32)
-        for k in range(4)
-    ]
-    own_nx4 = nxt[0] | (nxt[1] << 8) | (nxt[2] << 16) | (nxt[3] << 24)
     diff = cand_nx4 ^ own_nx4[:, None]
     score = (
         ((diff & 0xFF) == 0).astype(_i32)
@@ -399,12 +404,17 @@ def _rolz_best_match(c, ctx4, pos, t, n, p: BlockParams, inp_flat,
     rank_key = score * p.rolz_depth + (p.rolz_depth - 1 - rec)
     k_top = min(4, p.rolz_depth)
     _, top_slots = jax.lax.top_k(rank_key, k_top)
+    offs_p = jax.lax.broadcasted_iota(_i32, (p.lanes, PROBE), 1)
     lens, srcs, recs = [], [], []
     for k in range(k_top):
         sl = top_slots[:, k]
         src_k = jnp.take_along_axis(cand_pos, sl[:, None], 1)[:, 0] - 1
         sc_k = jnp.take_along_axis(score, sl[:, None], 1)[:, 0]
-        len_k = _match_window_len(inp_flat, pos, src_k, t, n, p)
+        cand = inp_flat[
+            jnp.clip(jnp.maximum(src_k, 0)[:, None] + offs_p, 0,
+                     inp_flat.shape[0] - 1)
+        ]
+        len_k = _prefix_len(cur_win[:, :PROBE], cand)
         lens.append(jnp.where(sc_k == 4, len_k, 0))
         srcs.append(src_k)
         recs.append(jnp.take_along_axis(rec, sl[:, None], 1)[:, 0])
@@ -413,19 +423,32 @@ def _rolz_best_match(c, ctx4, pos, t, n, p: BlockParams, inp_flat,
     length = jnp.take_along_axis(lens_m, pick[:, None], 1)[:, 0]
     src = jnp.take_along_axis(jnp.stack(srcs, 1), pick[:, None], 1)[:, 0]
     sym_idx = jnp.take_along_axis(jnp.stack(recs, 1), pick[:, None], 1)[:, 0]
-    return length, src, sym_idx
-
-
-def _match_window_len(inp_flat, pos, src, t, n, p: BlockParams):
-    """Encoder-side match length via windowed compare (clamped gathers)."""
-    offs = jax.lax.broadcasted_iota(_i32, (p.lanes, p.window), 1)
-    cur_idx = jnp.clip(pos[:, None] + offs, 0, inp_flat.shape[0] - 1)
-    cand_idx = jnp.clip(
-        jnp.maximum(src, 0)[:, None] + offs, 0, inp_flat.shape[0] - 1
+    if not probe_only:
+        # phase 2: full-window extension of the winner only
+        wlen = p.window
+        offs_w = jax.lax.broadcasted_iota(_i32, (p.lanes, wlen), 1)
+        cand = inp_flat[
+            jnp.clip(jnp.maximum(src, 0)[:, None] + offs_w, 0,
+                     inp_flat.shape[0] - 1)
+        ]
+        full = _prefix_len(cur_win[:, :wlen], cand)
+        length = jnp.where(length >= PROBE, full, length)
+    cap = jnp.minimum(
+        jnp.minimum(p.steps - t, n - pos),
+        min(p.window, p.min_len + ppm.LEN_W - 1),
     )
-    eq = inp_flat[cur_idx] == inp_flat[cand_idx]
-    run = jnp.cumprod(eq.astype(_i32), axis=-1)
-    length = jnp.sum(run, axis=-1)
+    return jnp.minimum(length, cap), src, sym_idx
+
+
+def _match_window_len(inp_flat, pos, src, t, n, p: BlockParams,
+                      cur_win=None):
+    """Encoder-side single-candidate match length (LZP path)."""
+    offs = jax.lax.broadcasted_iota(_i32, (p.lanes, p.window), 1)
+    cand = inp_flat[
+        jnp.clip(jnp.maximum(src, 0)[:, None] + offs, 0,
+                 inp_flat.shape[0] - 1)
+    ]
+    length = _prefix_len(cur_win[:, : p.window], cand)
     cap = jnp.minimum(
         jnp.minimum(p.steps - t, n - pos),
         min(p.window, p.min_len + ppm.LEN_W - 1),
@@ -466,12 +489,16 @@ def _dist_extra_events(dist, k_dist, has_extra):
 # --------------------------------------------------------------------------
 
 
-def _encode_model_body(p: BlockParams, inp, inp_flat, n, c, t):
+def _encode_model_body(p: BlockParams, inp_pad, inp_flat, n, c, t):
     (lanes, pos, active, coding, copying, p1, ctx2, h3, pred, conf) = (
         _common_reads(c, t, n, p)
     )
-    byte = jax.lax.dynamic_slice(inp, (0, t), (p.lanes, 1)).reshape(p.lanes)
-    byte = byte.astype(_i32)
+    # upcoming-bytes window: contiguous slice of the padded input (matches
+    # never cross the chunk end, so per-lane windows need no gather)
+    cur_win = jax.lax.dynamic_slice(
+        inp_pad, (0, t), (p.lanes, p.window + 1)
+    ).astype(_i32)
+    byte = cur_win[:, 0]
 
     sym_idx = jnp.zeros((p.lanes,), _i32)
     dist = jnp.ones((p.lanes,), _i32)
@@ -481,18 +508,11 @@ def _encode_model_body(p: BlockParams, inp, inp_flat, n, c, t):
         # (roxmain's hash-chain search, re-expressed as fixed-depth
         # buckets + top-K extension + lazy probe).
         length, src, _ = _rolz_best_match(
-            c, c["ctx4"], pos, t, n, p, inp_flat, x_keyed=True
+            c, pos, t, n, p, inp_flat, cur_win, x_keyed=True
         )
-        cur_byte = inp_flat[jnp.clip(pos, 0, inp_flat.shape[0] - 1)]
         len_next, _, _ = _rolz_best_match(
-            c,
-            (c["ctx4"] << 8) | cur_byte.astype(_u32),
-            pos + 1,
-            t,
-            n,
-            p,
-            inp_flat,
-            x_keyed=True,
+            c, pos + 1, t, n, p, inp_flat, cur_win[:, 1:], x_keyed=True,
+            probe_only=True,
         )
         ok = (src >= 0) & (src < pos)
         length = jnp.where(ok, length, 0)
@@ -511,16 +531,16 @@ def _encode_model_body(p: BlockParams, inp, inp_flat, n, c, t):
         # rolzmain/cr-matcher.c:122-162).  Free policy — the chosen index
         # is coded, so the decoder never searches.
         length, src, sym_idx = _rolz_best_match(
-            c, c["ctx4"], pos, t, n, p, inp_flat
+            c, pos, t, n, p, inp_flat, cur_win
         )
         valid = coding & (t >= 7)
         # lazy parsing (shape of rolzmain/cr-matcher.c:186-195): if the
         # next position promises a strictly better match, hold back one
-        # literal instead of committing now.  Pure encoder policy.
-        cur_byte = inp_flat[jnp.clip(pos, 0, inp_flat.shape[0] - 1)]
-        ctx4_next = (c["ctx4"] << 8) | cur_byte.astype(_u32)
+        # literal instead of committing now.  Pure encoder policy.  The
+        # probe is PROBE-deep only: matches >= PROBE are never deferred.
         len_next, _, _ = _rolz_best_match(
-            c, ctx4_next, pos + 1, t, n, p, inp_flat
+            c, pos + 1, t, n, p, inp_flat, cur_win[:, 1:], probe_only=True,
+            ctx4_override=(c["ctx4"] << 8) | byte.astype(_u32),
         )
         do_match = (
             valid & (length >= p.min_len) & (len_next <= length + 1)
@@ -532,7 +552,7 @@ def _encode_model_body(p: BlockParams, inp, inp_flat, n, c, t):
         # self-matches); byte src+k is then decoded strictly before t+k.
         src, ok = _lzp_candidate(c, t, p, inp_flat)
         valid = coding & ok
-        length = _match_window_len(inp_flat, pos, src, t, n, p)
+        length = _match_window_len(inp_flat, pos, src, t, n, p, cur_win)
         do_match = valid & (length >= p.min_len)
     else:
         src = jnp.zeros((p.lanes,), _i32)
@@ -540,7 +560,7 @@ def _encode_model_body(p: BlockParams, inp, inp_flat, n, c, t):
         do_match = jnp.zeros((p.lanes,), bool)
 
     # ---- A event
-    tbs, rows2, rowmod, cums_a, tot_a = ppm.read_o2(
+    tbs, rows2, rowmod, cums_a, tot_a, o2_hd = ppm.read_o2(
         c["tables"], ctx2, pred, coding
     )
     f_byte = jnp.take_along_axis(rowmod, byte[:, None], axis=-1)[:, 0]
@@ -608,6 +628,7 @@ def _encode_model_body(p: BlockParams, inp, inp_flat, n, c, t):
     tbs = ppm.apply_updates(
         tbs, coding, ctx2, sym_a, byte, f_byte, p1, h3, pred, conf,
         sym_len, sym_idx, sym_dst if p.mode == "X" else None,
+        o2_halve_delta=o2_hd,
     )
     c = dict(c)
     c["tables"] = tbs
@@ -644,8 +665,9 @@ def _encode_passes(p: BlockParams, inp, n):
     (states [S] u32, emit [T,n_slots,S] bool, words [T,n_slots,S] u16,
     debug)."""
     inp_flat = inp.reshape(-1)
+    inp_pad = jnp.pad(inp, ((0, 0), (0, p.window + 1)))
     carry = _init_carry(p, enc_side=True)
-    body = functools.partial(_encode_model_body, p, inp, inp_flat, n)
+    body = functools.partial(_encode_model_body, p, inp_pad, inp_flat, n)
     carry, ev = jax.lax.scan(body, carry, jnp.arange(p.steps, dtype=_i32))
     n_slots = p.n_slots
     slot_grids = ev[: 3 * n_slots]
@@ -692,7 +714,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
         return rans.dec_renorm(x_tmp, need, w), base
 
     # ---- A event
-    tbs, rows2, rowmod, cums_a, tot_a = ppm.read_o2(
+    tbs, rows2, rowmod, cums_a, tot_a, o2_hd = ppm.read_o2(
         c["tables"], ctx2, pred, coding
     )
     slot = rans.dec_slot(x)
@@ -811,6 +833,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
         tbs, coding, ctx2, sym_a, byte, f_byte, p1, h3, pred, conf,
         jnp.where(is_match, sym_l, 0), sym_idx,
         sym_dst if p.mode == "X" else None,
+        o2_halve_delta=o2_hd,
     )
     c = dict(c)
     c["tables"] = tbs

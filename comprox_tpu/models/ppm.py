@@ -87,9 +87,9 @@ def init_tables(match_enabled: bool, o3_bits: int = 22) -> dict:
         "o2": tb.make_table(O2_NCTX, O2_W, o2_row),
         "o1": tb.make_table(O1_NCTX, O1_NCTX, jnp.ones((O1_NCTX,), _i32)),
         "o3": jnp.zeros((o3_size,), _i32),  # conf<<8 | pred, init pred=0 conf=0
-        "len": tb.make_table(1, LEN_W, jnp.ones((LEN_W,), _i32)),
-        "idx": tb.make_table(1, IDX_W, jnp.ones((IDX_W,), _i32)),
-        "dst": tb.make_table(1, DST_W, jnp.ones((DST_W,), _i32)),
+        "len": jnp.ones((LEN_W,), _i32),
+        "idx": jnp.ones((IDX_W,), _i32),
+        "dst": jnp.ones((DST_W,), _i32),
     }
 
 
@@ -106,29 +106,48 @@ def o3_read(t, h3):
 def read_o2(t, ctx2, pred, coding):
     """Gather + rescale + exclude-predicted for the A event.
 
-    Returns (tables', rowmod, cums, tot).  ``rowmod`` has the predicted
-    byte's slot zeroed; escape slot is clamped >= 1 read-locally (it can be
-    driven negative by escape elimination).
+    Returns (tables, rows, rowmod, cums, tot, halve_delta).  ``rowmod`` has
+    the predicted byte's slot zeroed; escape slot is clamped >= 1
+    read-locally (it can be driven negative by escape elimination).
+    ``halve_delta`` carries the rescale as per-winner row deltas so the
+    caller folds it into ONE fused scatter-add with the increments (TPU
+    scatters serialize per index — one scatter per table per step).
     """
-    rows = t["o2"][ctx2]
-    rows, did = tb.rescale_read(rows, CAP2, _STICKY2)
-    t = dict(t)
-    t["o2"] = tb.write_rows_dedup(t["o2"], ctx2, rows, did & coding)
+    rows0 = t["o2"][ctx2]
+    rows, did = tb.rescale_read(rows0, CAP2, _STICKY2)
+    winners = tb.elect_winners(ctx2, did & coding)
+    halve_delta = jnp.where(winners[:, None], rows - rows0, 0)
     esc = jnp.maximum(rows[:, SYM_ESC], 1)
     rows = rows.at[:, SYM_ESC].set(esc)
     slot_ids = jax.lax.broadcasted_iota(_i32, rows.shape, 1)
     rowmod = jnp.where(slot_ids == pred[:, None], 0, rows)
     cums = tb.exclusive_cumsum(rowmod)
-    return t, rows, rowmod, cums, tb.row_total(rowmod)
+    return t, rows, rowmod, cums, tb.row_total(rowmod), halve_delta
 
 
 def read_o1_excl(t, p1, o2_rows, pred, esc_mask):
     """Order-1 weighted distribution with o2/pred exclusion (B event of
-    escape lanes).  Returns (tables', wmod, cums, tot)."""
-    rows = t["o1"][p1]
-    rows, did = tb.rescale_read(rows, CAP1, _STICKY_ALL)
+    escape lanes).  Returns (tables', rows, wmod, cums, tot).
+
+    The o1 table is small enough (256x256) to maintain densely: rescaling
+    applies table-wide when a row crosses the cap (no scatter), and the
+    per-lane rows come from a one-hot matmul (no gather).
+    """
+    o1 = t["o1"]
+    sums = jnp.sum(o1, axis=1)
+    need = sums > CAP1
+    o1 = jnp.where(need[:, None], (o1 + 1) >> 1, o1)
     t = dict(t)
-    t["o1"] = tb.write_rows_dedup(t["o1"], p1, rows, did & esc_mask)
+    t["o1"] = o1
+    oh = (
+        jax.lax.broadcasted_iota(_i32, (p1.shape[0], O1_NCTX), 1)
+        == p1[:, None]
+    )
+    rows = jnp.dot(
+        oh.astype(jnp.float32),
+        o1.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(_i32)
     w = rows * 8 - 7  # cr-ppm.c:98 M_freq_o1
     slot_ids = jax.lax.broadcasted_iota(_i32, rows.shape, 1)
     excluded = (o2_rows[:, :256] > 0) | (slot_ids == pred[:, None])
@@ -155,13 +174,22 @@ def read_dst(t, match_mask):
 
 
 def _read_shared(t, mask, key, cap):
-    zeros = jnp.zeros_like(mask, _i32)
-    rows = t[key][zeros]
-    rows, did = tb.rescale_read(rows, cap, _STICKY_ALL)
+    """Dense shared-row model: one [W] vector, rescaled in place when any
+    participating lane reads it over cap (same evolution as the winner-
+    dedup path: the row is identical across lanes)."""
+    row = t[key]
+    hot = jnp.any(mask)
+    for _ in range(tb.HALVE_ROUNDS):
+        need = hot & (jnp.sum(row) > cap)
+        row = jnp.where(need, (row + 1) >> 1, row)
     t = dict(t)
-    t[key] = tb.write_rows_dedup(t[key], zeros, rows, did & mask)
-    cums = tb.exclusive_cumsum(rows)
-    return t, rows, cums, tb.row_total(rows)
+    t[key] = row
+    s_lanes = mask.shape[0]
+    rows = jnp.broadcast_to(row, (s_lanes, row.shape[0]))
+    cums = jnp.broadcast_to(
+        tb.exclusive_cumsum(row[None, :])[0], rows.shape
+    )
+    return t, rows, cums, jnp.broadcast_to(jnp.sum(row), (s_lanes,))
 
 
 def apply_updates(
@@ -178,48 +206,72 @@ def apply_updates(
     sym_len,
     sym_idx=None,
     sym_dst=None,
+    o2_halve_delta=None,
 ):
-    """All model updates for one step, after both events are coded.
+    """All model updates for one step, after the events are coded.
 
-    ``coding`` masks lanes that coded an A event this step.  Classification
-    is derived from ``sym_a``; ``byte`` is the resolved literal for lit/esc
-    lanes.  ``old_f_byte`` is the byte's pre-update o2 frequency (drives the
-    escape eliminator, cr-ppm.c:128-139).
+    TPU scatters serialize per index, so each table gets at most ONE
+    scatter: o2 folds the rescale delta and all increments into a single
+    row-delta scatter-add; o1 and the shared len/idx/dst rows update with
+    dense one-hot arithmetic (no scatter at all); o3 keeps its single
+    deduplicated write.
     """
     is_lit = coding & (sym_a < 256)
     is_hit = coding & (sym_a == SYM_HIT)
     is_esc = coding & (sym_a == SYM_ESC)
     is_match = coding & (sym_a == SYM_MATCH)
     t = dict(t)
+    s_lanes = ctx2.shape[0]
 
-    # --- o2: one fused 3-way scatter-add ------------------------------------
-    # (a) the coded A symbol; (b) the escaped literal also learns into o2
-    #     (cr-ppm.c:151-153); (c) escape elimination: a literal's second
+    # --- o2: one fused row-delta scatter-add --------------------------------
+    # (a) rescale delta from read_o2 (winner lanes only); (b) the coded A
+    #     symbol; (c) the escaped literal also learns into o2
+    #     (cr-ppm.c:151-153); (d) escape elimination: a literal's second
     #     occurrence decrements the escape slot (cr-ppm.c:128-139).
     eliminate = is_lit & (old_f_byte == INC2)
-    idx_ctx = jnp.concatenate([ctx2, ctx2, ctx2])
-    idx_sym = jnp.concatenate(
-        [sym_a, byte, jnp.full_like(sym_a, SYM_ESC)]
+    slot_ids = jax.lax.broadcasted_iota(_i32, (s_lanes, O2_W), 1)
+    delta = jnp.where(
+        (slot_ids == sym_a[:, None]) & coding[:, None], INC2, 0
     )
-    deltas = jnp.concatenate(
-        [
-            jnp.where(coding, INC2, 0),
-            jnp.where(is_esc, INC2, 0),
-            jnp.where(eliminate, -INC2, 0),
-        ]
+    delta = delta + jnp.where(
+        (slot_ids == byte[:, None]) & is_esc[:, None], INC2, 0
     )
-    t["o2"] = t["o2"].at[idx_ctx, idx_sym].add(deltas, mode="drop")
+    delta = delta + jnp.where(
+        (slot_ids == SYM_ESC) & eliminate[:, None], -INC2, 0
+    )
+    if o2_halve_delta is not None:
+        delta = delta + o2_halve_delta
+    t["o2"] = t["o2"].at[ctx2].add(delta, mode="drop")
 
-    # --- o1: escaped literals ----------------------------------------------
-    t["o1"] = tb.scatter_add(t["o1"], p1, byte, INC1, is_esc)
+    # --- o1: dense one-hot outer product on the MXU -------------------------
+    oh_ctx = (
+        jax.lax.broadcasted_iota(_i32, (s_lanes, O1_NCTX), 1)
+        == p1[:, None]
+    ) & is_esc[:, None]
+    oh_sym = (
+        jax.lax.broadcasted_iota(_i32, (s_lanes, O1_NCTX), 1)
+        == byte[:, None]
+    )
+    d1 = jnp.dot(
+        oh_ctx.astype(jnp.float32).T,
+        oh_sym.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(_i32)
+    t["o1"] = t["o1"] + d1 * INC1
 
-    # --- len / idx: match side models ---------------------------------------
-    zeros = jnp.zeros_like(sym_len)
-    t["len"] = tb.scatter_add(t["len"], zeros, sym_len, LEN_INC, is_match)
+    # --- len / idx / dst: dense one-hot reductions --------------------------
+    def bump(row, sym, mask, inc):
+        oh = (
+            jax.lax.broadcasted_iota(_i32, (s_lanes, row.shape[0]), 1)
+            == sym[:, None]
+        ) & mask[:, None]
+        return row + jnp.sum(oh.astype(_i32), axis=0) * inc
+
+    t["len"] = bump(t["len"], sym_len, is_match, LEN_INC)
     if sym_idx is not None:
-        t["idx"] = tb.scatter_add(t["idx"], zeros, sym_idx, IDX_INC, is_match)
+        t["idx"] = bump(t["idx"], sym_idx, is_match, IDX_INC)
     if sym_dst is not None:
-        t["dst"] = tb.scatter_add(t["dst"], zeros, sym_dst, DST_INC, is_match)
+        t["dst"] = bump(t["dst"], sym_dst, is_match, DST_INC)
 
     # --- o3 predictor: hit strengthens, miss decays/replaces ----------------
     # (cr-ppm.c:69-88; matches don't touch o3)
