@@ -36,18 +36,20 @@ import numpy as np
 
 import os as _os
 
-# Measured on doc-text (BASELINE.md corpus): 1-byte codes (cost-free
-# unused byte values) help ~5%; 2-byte codes and trailing-space tokens
-# HURT the downstream ROLZ+PPM stage (they replace words the o3/match
-# layers already code at <2 bits with near-incompressible code bytes).
-# Defaults reflect that; env knobs kept for sweeps.
-_SPACE = _os.environ.get("CPX_DICT_SPACE", "0") == "1"
-WORD_RE = re.compile(
-    rb"[A-Za-z]{2,20} ?" if _SPACE else rb"[A-Za-z]{2,20}"
-)
+# Measured on doc-text (BASELINE.md corpus): on SMALL inputs (~1 MiB)
+# only the cost-free 1-byte codes help — 2-byte codes and trailing-space
+# tokens hurt the downstream ROLZ+PPM stage.  On LARGE inputs (8 MiB+)
+# the full 2-byte code space AND space-tokens win clearly (0.482 -> 0.442
+# bpb).  Aggressiveness therefore adapts to input size; env knobs
+# override for sweeps.
+_RE_PLAIN = re.compile(rb"[A-Za-z]{2,20}")
+_RE_SPACE = re.compile(rb"[A-Za-z]{2,20} ?")
+WORD_RE = _RE_PLAIN  # default for standalone calls; build sets per-dict
+BIG_INPUT = 2 * 1048576
 MIN_COUNT = 6  # reference keeps words with count > 5 (cr-dicpick.c:219)
 N_LEADS = int(_os.environ.get("CPX_DICT_LEADS", "4"))
-MAX_W2 = int(_os.environ.get("CPX_DICT_W2", "0"))  # -1 = full code space
+_W2_ENV = _os.environ.get("CPX_DICT_W2")
+_SPACE_ENV = _os.environ.get("CPX_DICT_SPACE")
 
 
 @dataclass
@@ -56,6 +58,7 @@ class WordDict:
     words1: List[bytes]  # words for one_codes (same order)
     leads: List[int]  # lead byte values (first carries the escapes)
     words2: List[bytes]  # words for 2-byte codes
+    space: bool = False  # encode-side tokenizer choice (not serialized)
     enc_map: Dict[bytes, bytes] = field(default_factory=dict, repr=False)
 
     def _cbs(self) -> List[int]:
@@ -93,9 +96,12 @@ def build_dictionary(data: np.ndarray, max_words2: Optional[int] = None
     raw = data.tobytes()
     if len(raw) < 4096:
         return None
+    big = len(raw) >= BIG_INPUT
+    space = big if _SPACE_ENV is None else _SPACE_ENV == "1"
+    word_re = _RE_SPACE if space else _RE_PLAIN
     hist = np.bincount(data, minlength=256)
     unused = [int(b) for b in np.flatnonzero(hist == 0)]
-    cnt = Counter(WORD_RE.findall(raw))
+    cnt = Counter(word_re.findall(raw))
     cand = [(w, c) for w, c in cnt.items() if c >= MIN_COUNT]
     if not cand:
         return None
@@ -108,9 +114,12 @@ def build_dictionary(data: np.ndarray, max_words2: Optional[int] = None
     rest = [(w, c) for w, c in by_savings1[len(unused):] if len(w) >= 3]
     by_savings2 = sorted(rest, key=lambda kv: -kv[1] * (len(kv[0]) - 2))
     d = WordDict(one_codes=unused[: len(words1)], words1=words1,
-                 leads=leads, words2=[])
+                 leads=leads, words2=[], space=space)
     if max_words2 is None:
-        max_words2 = MAX_W2 if MAX_W2 >= 0 else None
+        if _W2_ENV is not None:
+            max_words2 = int(_W2_ENV) if int(_W2_ENV) >= 0 else None
+        elif not big:
+            max_words2 = 0  # small inputs: 1-byte codes only
     n2cap = len(d.two_codes()) if max_words2 is None else max_words2
     d.words2 = [w for w, c in by_savings2[:n2cap]]
     total_savings = (
@@ -133,7 +142,8 @@ def dict_encode(data: np.ndarray, d: WordDict) -> np.ndarray:
     out = []
     pos = 0
     enc_map = d.enc_map
-    for m in WORD_RE.finditer(raw):
+    word_re = _RE_SPACE if d.space else _RE_PLAIN
+    for m in word_re.finditer(raw):
         start = m.start()
         if start > pos:
             out.append(_escape(raw[pos:start], esc))
