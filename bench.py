@@ -7,9 +7,9 @@ hardware-independent corpus (BASELINE.md: 16.2 MB/s on doc text, Xeon x4).
 Round trip is verified bit-exact before any number is reported.
 
 Env knobs:
-  BENCH_MB      corpus size in MiB          (default 4)
+  BENCH_MB      corpus size in MiB          (default 2)
   BENCH_LANES   lanes per block             (default 512)
-  BENCH_BLOCK   block capacity in MiB       (default 2)
+  BENCH_BLOCK   block capacity in MiB       (default 0.5)
 """
 
 from __future__ import annotations
@@ -53,9 +53,9 @@ def build_corpus(n_bytes: int) -> np.ndarray:
 
 
 def main() -> None:
-    corpus_mb = float(os.environ.get("BENCH_MB", "4"))
+    corpus_mb = float(os.environ.get("BENCH_MB", "2"))
     lanes = int(os.environ.get("BENCH_LANES", "512"))
-    block_mb = float(os.environ.get("BENCH_BLOCK", "2"))
+    block_mb = float(os.environ.get("BENCH_BLOCK", "0.5"))
 
     from comprox_tpu.utils.cache import enable_compilation_cache
 
