@@ -176,12 +176,11 @@ def _init_carry(p: BlockParams, enc_side: bool):
     if p.mode == "R" or (p.mode == "X" and enc_side):
         # 'X' keeps the bucket tables encoder-private: distances are coded
         # explicitly, so the decoder never touches a match table.
-        # Entries interleave (pos+1, prefix4) in one [NB, 2D] table:
-        # random accesses cost ~0.28us per ROW on TPU regardless of width,
-        # so one wide gather/scatter beats two narrow ones — and the last
-        # dim 2D=128 tiles perfectly (a trailing dim of 2 pads 64x)
+        # Entries pack (pos+1, prefix4) in one table: random accesses cost
+        # ~0.28us per ROW on TPU regardless of width, so one wide gather/
+        # scatter beats two narrow ones.
         nb = 1 << p.rolz_bits
-        c["rolz_ent"] = jnp.zeros((nb, 2 * p.rolz_depth), _i32)
+        c["rolz_ent"] = jnp.zeros((nb, p.rolz_depth, 2), _i32)
         c["rolz_w"] = jnp.zeros((nb,), _i32)
     elif p.mode == "P":
         c["lzp2"] = jnp.zeros((1 << 16,), _i32)
@@ -260,7 +259,7 @@ def _rolz_slot_of_recency(c, rctx, rec_idx, p: BlockParams):
 def _rolz_src_of_idx(c, rctx, rec_idx, p: BlockParams):
     slot = _rolz_slot_of_recency(c, rctx, rec_idx, p)
     return jnp.take_along_axis(
-        c["rolz_ent"][rctx], (2 * slot)[:, None], axis=1
+        c["rolz_ent"][rctx, :, 0], slot[:, None], axis=1
     )[:, 0] - 1
 
 
@@ -298,13 +297,8 @@ def _bucket_insert(c, p: BlockParams, rctx, ins, pos, nx4):
     slot = jnp.mod(w_old + rank, p.rolz_depth)
     safe_r = jnp.where(ins, rctx, 1 << p.rolz_bits)
     q = pos - 3
-    # one element-scatter covering both halves of each entry (2S indices;
-    # scatters serialize per index, so one op with 2S beats two with S
-    # only by the op overhead — but avoids any [NB, D, 2] relayout)
-    rows2 = jnp.concatenate([safe_r, safe_r])
-    cols2 = jnp.concatenate([2 * slot, 2 * slot + 1])
-    vals2 = jnp.concatenate([q + 1, nx4.astype(_i32)])
-    c["rolz_ent"] = c["rolz_ent"].at[rows2, cols2].set(vals2, mode="drop")
+    ent = jnp.stack([q + 1, nx4.astype(_i32)], axis=-1)  # [S, 2]
+    c["rolz_ent"] = c["rolz_ent"].at[safe_r, slot].set(ent, mode="drop")
     c["rolz_w"] = c["rolz_w"].at[safe_r].add(
         jnp.where(ins, 1, 0), mode="drop"
     )
@@ -396,9 +390,9 @@ def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_flat, cur_win,
     else:
         ctx4 = c["ctx4"] if ctx4_override is None else ctx4_override
         rctx = rolz_hash3((ctx4 & 0xFFFFFF).astype(_i32), p.rolz_bits)
-    ent = c["rolz_ent"][rctx]  # [S, 2D] interleaved (pos, prefix)
-    cand_pos = ent[:, 0::2]
-    cand_nx4 = ent[:, 1::2].astype(_u32)
+    ent = c["rolz_ent"][rctx]  # [S, D, 2]
+    cand_pos = ent[..., 0]
+    cand_nx4 = ent[..., 1].astype(_u32)
     diff = cand_nx4 ^ own_nx4[:, None]
     score = (
         ((diff & 0xFF) == 0).astype(_i32)

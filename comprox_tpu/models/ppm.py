@@ -139,15 +139,9 @@ def read_o1_excl(t, p1, o2_rows, pred, esc_mask):
     o1 = jnp.where(need[:, None], (o1 + 1) >> 1, o1)
     t = dict(t)
     t["o1"] = o1
-    oh = (
-        jax.lax.broadcasted_iota(_i32, (p1.shape[0], O1_NCTX), 1)
-        == p1[:, None]
-    )
-    rows = jnp.dot(
-        oh.astype(jnp.float32),
-        o1.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ).astype(_i32)
+    # row READ stays a gather: a one-hot matmul would be bf16-inexact on
+    # TPU for values > 256 (MXU f32 dots run as bf16 passes)
+    rows = o1[p1]
     w = rows * 8 - 7  # cr-ppm.c:98 M_freq_o1
     slot_ids = jax.lax.broadcasted_iota(_i32, rows.shape, 1)
     excluded = (o2_rows[:, :256] > 0) | (slot_ids == pred[:, None])
@@ -252,6 +246,8 @@ def apply_updates(
         jax.lax.broadcasted_iota(_i32, (s_lanes, O1_NCTX), 1)
         == byte[:, None]
     )
+    # EXACT in any matmul precision: inputs are 0/1 (bf16-representable),
+    # accumulation is f32, counts <= S
     d1 = jnp.dot(
         oh_ctx.astype(jnp.float32).T,
         oh_sym.astype(jnp.float32),

@@ -102,33 +102,25 @@ def scatter_add(table, ctx, sym, delta, mask):
     return table.at[ctx, sym].add(d, mode="drop")
 
 
-_TRI_CACHE: dict = {}
-
-
-def _strict_upper_tri(w: int):
-    """Cached [w, w] strictly-upper-triangular f32 ones matrix (numpy, so
-    it enters each trace as a constant, never a leaked tracer)."""
-    if w not in _TRI_CACHE:
-        import numpy as _np
-
-        _TRI_CACHE[w] = _np.triu(_np.ones((w, w), _np.float32), k=1)
-    return _TRI_CACHE[w]
-
-
 def exclusive_cumsum(rows):
-    """Exclusive prefix sum along the last axis, as an MXU matmul.
+    """Exclusive prefix sum along the last axis: integer Hillis-Steele.
 
-    jnp.cumsum lowers to a sequential loop on TPU (~29us for [256, 260]);
-    ``rows @ strict_upper_tri`` is one systolic-array pass.  Exact: all
-    sums stay far below 2^24, inside f32's integer range.
+    jnp.cumsum lowers to a SEQUENTIAL loop on TPU (~29us for [256, 260]);
+    an f32 triangular matmul is fast but NOT exact on TPU (MXU f32 dots
+    default to bf16 passes — this corrupted streams on-chip while passing
+    on CPU).  log2(W) shifted integer adds are exact everywhere and pure
+    VPU work that fuses.
     """
     w = rows.shape[-1]
-    out = jnp.dot(
-        rows.astype(jnp.float32),
-        _strict_upper_tri(w),
-        preferred_element_type=jnp.float32,
-    )
-    return out.astype(rows.dtype)
+    inc = rows
+    k = 1
+    while k < w:
+        shifted = jnp.pad(inc, [(0, 0)] * (inc.ndim - 1) + [(k, 0)])[
+            ..., :w
+        ]
+        inc = inc + shifted
+        k *= 2
+    return inc - rows
 
 
 def row_total(rows):

@@ -95,35 +95,25 @@ def dec_renorm(x_tmp, need_word, word):
     return jnp.where(need_word, fed, x_tmp)
 
 
-_TRI_CACHE: dict = {}
-
-
-def _strict_upper_tri(w: int):
-    # numpy constant: a jnp array built under trace would leak tracers
-    if w not in _TRI_CACHE:
-        import numpy as _np
-
-        _TRI_CACHE[w] = _np.triu(_np.ones((w, w), _np.float32), k=1)
-    return _TRI_CACHE[w]
-
-
 def stream_positions(emit_mask_flat, base):
     """Forward-order stream indices for a flat emission mask.
 
     Given the flattened per-event emission mask in *decode order* and the
     current read base, returns (indices, new_base): ``indices[i]`` is the
     stream position of event i's word (meaningful only where the mask is
-    set).  The lane-rank prefix sum runs as an MXU matmul (jnp.cumsum
-    lowers sequentially on TPU).
+    set).  Integer Hillis-Steele prefix sum: exact on every backend
+    (jnp.cumsum lowers sequentially on TPU; f32 matmuls are bf16-inexact
+    there).
     """
     s = emit_mask_flat.shape[0]
-    inc = emit_mask_flat.astype(jnp.float32)
-    excl = jnp.dot(
-        inc[None, :], _strict_upper_tri(s),
-        preferred_element_type=jnp.float32,
-    )[0].astype(jnp.uint32)
-    total = jnp.sum(emit_mask_flat.astype(jnp.uint32))
-    return base + excl, base + total
+    inc = emit_mask_flat.astype(jnp.uint32)
+    acc = inc
+    k = 1
+    while k < s:
+        acc = acc + jnp.pad(acc, (k, 0))[:s]
+        k *= 2
+    excl = acc - inc
+    return base + excl, base + acc[-1]
 
 
 def init_states(n_lanes):
