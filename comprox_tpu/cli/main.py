@@ -107,7 +107,8 @@ def run(codec_name: str, argv) -> int:
             mesh = make_mesh(None if opts["jobs"] < 0 else min(opts["jobs"], nd))
         with open(outp, "wb") as f:
             csize = encode_stream(
-                data, f, cp, filters=opts["filters"], mesh=mesh
+                data, f, cp, filters=opts["filters"], mesh=mesh,
+                precomp_only=opts["precomp"],
             )
         dt = max(time.time() - t0, 1e-9)
         # same per-run stats as the reference driver (src/main.c:318-329)

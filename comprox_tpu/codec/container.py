@@ -105,13 +105,19 @@ def encode_stream(
     filters: bool = False,
     dictionary: bool = True,
     mesh=None,
+    precomp_only: bool = False,
 ) -> int:
     """Encode ``src`` into ``dst``; returns compressed byte count.
 
     With ``mesh`` set, blocks are coded data-parallel across the mesh in
     device-count groups (bit-identical payloads to the sequential path).
+    ``precomp_only`` runs just the dictionary stage and stores the
+    substituted bytes uncoded (the reference's -p, roxmain/main.c:77-82).
     """
     from comprox_tpu.codec import dictionary as dic
+
+    if precomp_only:
+        filters = False  # stored blocks carry no filter-span metadata
 
     # whole-file pass #1: build the word dictionary (src/main.c:158 ->
     # cr-dicpick.c); broadcast-equivalent: the blob rides the header
@@ -147,6 +153,20 @@ def encode_stream(
         staged.append((raw_blk, blk, prefix, bflags))
 
     # stage 2: device coding — sequential or mesh-grouped
+    if precomp_only:
+        payloads = [blk.tobytes() for _, blk, _, _ in staged]
+        for i, (raw_blk, blk, prefix, bflags) in enumerate(staged):
+            dst.write(
+                struct.pack(
+                    "<IIB", raw_blk.size, len(prefix) + blk.size,
+                    bflags | BF_STORED,
+                )
+            )
+            dst.write(prefix)
+            dst.write(payloads[i])
+            written += 9 + len(prefix) + blk.size
+        dst.write(struct.pack("<IIB", 0, 0, 0))
+        return written + 9
     if encode_fn is not None:
         payloads = [encode_fn(blk) for _, blk, _, _ in staged]
     elif mesh is not None:
@@ -210,7 +230,13 @@ def decode_stream(
             spans, off = flt.unpack_spans(payload)
             payload = payload[off:]
         if bflags & BF_STORED:
-            out = np.frombuffer(payload, np.uint8)
+            if bflags & BF_DICT:  # precomp-only block: expand dictionary
+                payload = payload[4:]  # skip substituted-size prefix
+                out = dic.dict_decode(
+                    np.frombuffer(payload, np.uint8), wd
+                )
+            else:
+                out = np.frombuffer(payload, np.uint8)
         else:
             n_dec = raw_n
             if bflags & BF_DICT:

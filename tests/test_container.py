@@ -61,3 +61,17 @@ def test_incompressible_stored_fallback():
     out = io.BytesIO()
     decode_stream(buf, out)
     assert out.getvalue() == data.tobytes()
+
+
+def test_precomp_only_roundtrip():
+    """-p: dictionary substitution only, stored uncoded (ref -p flag)."""
+    cp = params_for(b"R")
+    words = b"precompress only mode stores substituted words verbatim "
+    data = np.frombuffer(words * 200, np.uint8).copy()
+    buf = io.BytesIO()
+    csize = encode_stream(data, buf, cp, dictionary=True, precomp_only=True)
+    buf.seek(0)
+    out = io.BytesIO()
+    decode_stream(buf, out)
+    assert out.getvalue() == data.tobytes()
+    assert csize < data.size  # substitution alone must shrink wordy text
