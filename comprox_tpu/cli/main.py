@@ -118,8 +118,15 @@ def run(codec_name: str, argv) -> int:
             log(quiet, f"compress-ratio: {csize / data.size:.4f}")
             log(quiet, f"bits-per-byte:  {csize * 8 / data.size:.3f}")
     else:
+        mesh = None
+        if opts["jobs"]:
+            import jax
+            from comprox_tpu.parallel.mesh import make_mesh
+
+            nd = len(jax.devices())
+            mesh = make_mesh(None if opts["jobs"] < 0 else min(opts["jobs"], nd))
         with open(inp, "rb") as f, open(outp, "wb") as g:
-            total = decode_stream(f, g)
+            total = decode_stream(f, g, mesh=mesh)
         dt = max(time.time() - t0, 1e-9)
         log(quiet, f"decode-speed: {total / dt / 1e6:.2f} MB/s")
         log(quiet, f"cost-time:    {dt:.3f} s")

@@ -200,18 +200,26 @@ def decode_stream(
     dst: BinaryIO,
     decode_fn: Optional[Callable] = None,
     progress: Optional[Callable[[int, int], None]] = None,
+    mesh=None,
 ) -> int:
-    """Decode an archive; returns raw byte count."""
+    """Decode an archive; returns raw byte count.
+
+    With ``mesh`` set, coded blocks decode data-parallel across the mesh —
+    the capability the reference's sequentially-dependent blocks rule out
+    (SURVEY.md §2.5 P1)."""
     from comprox_tpu.codec import dictionary as dic
 
     cp, flags = read_header(src)
-    decode_fn = decode_fn or (
-        lambda payload, n: decode_block(payload, n, cp.block)
-    )
     wd = None
     if flags & F_DICT:
         (blob_len,) = struct.unpack("<I", src.read(4))
         wd = dic.unpack_dict(src.read(blob_len))
+    if mesh is not None and decode_fn is None:
+        # prescan must start at the first block header (after the dict blob)
+        decode_fn = _make_mesh_decode_fn(src, cp, mesh)
+    decode_fn = decode_fn or (
+        lambda payload, n: decode_block(payload, n, cp.block)
+    )
     total = 0
     while True:
         hdr = src.read(9)
@@ -258,3 +266,54 @@ def decode_stream(
         if progress:
             progress(total, total)
     return total
+
+
+def _make_mesh_decode_fn(src, cp: ContainerParams, mesh):
+    """Pre-scan the remaining archive and batch-decode coded blocks over
+    the mesh; returns a decode_fn serving results from the batch."""
+    import struct as _st
+
+    from comprox_tpu.parallel.mesh import decode_blocks
+
+    start = src.tell()
+    jobs = []  # (payload_after_prefixes, n_decode)
+    while True:
+        hdr = src.read(9)
+        if len(hdr) < 9:
+            break
+        raw_n, blen, bflags = _st.unpack("<IIB", hdr)
+        if raw_n == 0:
+            break
+        payload = src.read(blen)
+        if bflags & BF_STORED:
+            continue
+        if bflags & BF_FILTERED:
+            from comprox_tpu.ops import filters as flt
+
+            _spans, off = flt.unpack_spans(payload)
+            payload = payload[off:]
+        n_dec = raw_n
+        if bflags & BF_DICT:
+            (n_dec,) = _st.unpack("<I", payload[:4])
+            payload = payload[4:]
+        jobs.append((payload, n_dec))
+    src.seek(start)
+    if not jobs:
+        return None
+    outs = decode_blocks(
+        [p for p, _ in jobs], [n for _, n in jobs], cp.block, mesh
+    )
+    # decode_blocks concatenates; re-split by per-job lengths
+    results = []
+    off = 0
+    for _, n in jobs:
+        results.append(outs[off : off + n])
+        off += n
+    it = iter(results)
+
+    def decode_fn(payload, n):
+        out = next(it)
+        assert out.size == n
+        return out
+
+    return decode_fn

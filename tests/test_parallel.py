@@ -60,3 +60,22 @@ def test_mesh_encode_stream_matches_sequential():
     encode_stream(data, seq, cp, dictionary=True)
     encode_stream(data, par, cp, dictionary=True, mesh=make_mesh(4))
     assert seq.getvalue() == par.getvalue()
+
+
+def test_mesh_decode_stream_matches():
+    import io
+
+    from comprox_tpu.codec.container import (
+        ContainerParams,
+        decode_stream,
+        encode_stream,
+    )
+
+    cp = ContainerParams(codec=b"P", block=P_SMALL)
+    data = _data(P_SMALL.capacity * 6 + 5, seed=11)
+    buf = io.BytesIO()
+    encode_stream(data, buf, cp, dictionary=True)
+    buf.seek(0)
+    out = io.BytesIO()
+    decode_stream(buf, out, mesh=make_mesh(4))
+    assert out.getvalue() == data.tobytes()
