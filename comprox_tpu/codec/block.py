@@ -245,6 +245,21 @@ def _lzp_candidate(c, t, p: BlockParams, hist_flat):
 # --------------------------------------------------------------------------
 
 
+def _rec_bucket(sym_idx):
+    """len-model context: recency bucket of the chosen index
+    (0 / 1-3 / 4-15 / 16+)."""
+    return (
+        (sym_idx >= 1).astype(_i32)
+        + (sym_idx >= 4).astype(_i32)
+        + (sym_idx >= 16).astype(_i32)
+    )
+
+
+def _fill_bucket(fill):
+    """idx-model context: bucket fill quartile."""
+    return jnp.clip((fill - 1) // 16, 0, 3)
+
+
 def _rolz_ctx(c, p: BlockParams):
     return rolz_hash3((c["ctx4"] & 0xFFFFFF).astype(_i32), p.rolz_bits)
 
@@ -257,9 +272,15 @@ def _rolz_slot_of_recency(c, rctx, rec_idx, p: BlockParams):
 
 
 def _rolz_src_of_idx(c, rctx, rec_idx, p: BlockParams):
+    return _rolz_src_of_rows(c, rctx, c["rolz_ent"][rctx], rec_idx, p)
+
+
+def _rolz_src_of_rows(c, rctx, ent_rows, rec_idx, p: BlockParams):
+    """Entry position for a coded recency index, given already-gathered
+    bucket rows (one gather serves fill-context and source lookup)."""
     slot = _rolz_slot_of_recency(c, rctx, rec_idx, p)
     return jnp.take_along_axis(
-        c["rolz_ent"][rctx, :, 0], slot[:, None], axis=1
+        ent_rows[..., 0], slot[:, None], axis=1
     )[:, 0] - 1
 
 
@@ -403,6 +424,7 @@ def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_flat, cur_win,
     w = c["rolz_w"][rctx]
     slot_ids = jax.lax.broadcasted_iota(_i32, (p.lanes, p.rolz_depth), 1)
     rec = jnp.mod(w[:, None] - 1 - slot_ids, p.rolz_depth)
+    fill = jnp.sum((cand_pos > 0).astype(_i32), axis=1)
     score = jnp.where(cand_pos > 0, score, -1)
     rank_key = score * p.rolz_depth + (p.rolz_depth - 1 - rec)
     k_top = min(4, p.rolz_depth)
@@ -440,7 +462,7 @@ def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_flat, cur_win,
         jnp.minimum(p.steps - t, n - pos),
         min(p.window, p.min_len + ppm.LEN_W - 1),
     )
-    return jnp.minimum(length, cap), src, sym_idx
+    return jnp.minimum(length, cap), src, sym_idx, fill
 
 
 def _match_window_len(inp_flat, pos, src, t, n, p: BlockParams,
@@ -505,27 +527,38 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, n, c, t):
 
     sym_idx = jnp.zeros((p.lanes,), _i32)
     dist = jnp.ones((p.lanes,), _i32)
+    rolz_fill = jnp.zeros((p.lanes,), _i32)
     if p.match and p.mode == "X":
         # LZ77: bucket keyed by the upcoming 4 content bytes; the table is
         # encoder-private because the distance is coded explicitly
         # (roxmain's hash-chain search, re-expressed as fixed-depth
         # buckets + top-K extension + lazy probe).
-        length, src, _ = _rolz_best_match(
+        length, src, _, _ = _rolz_best_match(
             c, pos, t, n, p, inp_flat, cur_win, x_keyed=True
         )
-        len_next, _, _ = _rolz_best_match(
+        len_next, _, _, _ = _rolz_best_match(
             c, pos + 1, t, n, p, inp_flat, cur_win[:, 1:], x_keyed=True,
             probe_only=True,
         )
         ok = (src >= 0) & (src < pos)
         length = jnp.where(ok, length, 0)
+        # cost-aware acceptance: a match must out-earn its price, which is
+        # dominated by ~k mantissa bits of the distance (repeat-distance
+        # matches are nearly free).  Encoder policy only.
+        dist_cand = jnp.maximum(pos - src, 1)
+        k_cand = _dist_bucket(dist_cand)
+        is_rep = dist_cand == c["prev_dist"]
+        accept_len = jnp.where(
+            is_rep, p.min_len,
+            jnp.maximum(p.min_len, 2 + (3 * k_cand) // 4),
+        )
         do_match = (
             coding
             & (t >= 7)
-            & (length >= p.min_len)
+            & (length >= accept_len)
             & (len_next <= length + 1)
         )
-        dist = jnp.where(do_match, pos - src, 1)
+        dist = jnp.where(do_match, dist_cand, 1)
     elif p.match and p.mode == "R":
         # ROLZ candidate scoring: compare each bucket entry's 4-byte prefix
         # cache against the upcoming input bytes; extend the top-K
@@ -533,7 +566,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, n, c, t):
         # analogue of the reference's candidate walk,
         # rolzmain/cr-matcher.c:122-162).  Free policy — the chosen index
         # is coded, so the decoder never searches.
-        length, src, sym_idx = _rolz_best_match(
+        length, src, sym_idx, rolz_fill = _rolz_best_match(
             c, pos, t, n, p, inp_flat, cur_win
         )
         valid = coding & (t >= 7)
@@ -541,7 +574,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, n, c, t):
         # next position promises a strictly better match, hold back one
         # literal instead of committing now.  Pure encoder policy.  The
         # probe is PROBE-deep only: matches >= PROBE are never deferred.
-        len_next, _, _ = _rolz_best_match(
+        len_next, _, _, _ = _rolz_best_match(
             c, pos + 1, t, n, p, inp_flat, cur_win[:, 1:], probe_only=True,
             ctx4_override=(c["ctx4"] << 8) | byte.astype(_u32),
         )
@@ -593,8 +626,12 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, n, c, t):
     sym_dst = jnp.zeros((p.lanes,), _i32)
     repeat = jnp.zeros((p.lanes,), bool)
     k_dist = jnp.zeros((p.lanes,), _i32)
+    len_ctx = jnp.zeros((p.lanes,), _i32)
+    idx_ctx = jnp.zeros((p.lanes,), _i32)
     if p.mode == "R":
-        tbs, rows_i, cums_i, tot_i = ppm.read_idx(tbs, is_match)
+        idx_ctx = _fill_bucket(rolz_fill)
+        len_ctx = _rec_bucket(sym_idx)
+        tbs, rows_i, cums_i, tot_i = ppm.read_idx(tbs, is_match, idx_ctx)
         ci_raw, fi_raw = tb.cum_frq_of(rows_i, cums_i, sym_idx)
         cb_raw = jnp.where(is_esc, c1_raw, ci_raw)
         fb_raw = jnp.where(is_esc, f1_raw, fi_raw)
@@ -602,6 +639,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, n, c, t):
         act_b = is_esc | is_match
     elif p.mode == "X":
         k_dist = _dist_bucket(dist)
+        len_ctx = jnp.clip(k_dist // 6, 0, 3)
         repeat = is_match & (dist == c["prev_dist"])
         sym_dst = jnp.where(repeat, SYM_DST_REPEAT, k_dist)
         tbs, rows_d, cums_d, tot_d = ppm.read_dst(tbs, is_match)
@@ -620,7 +658,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, n, c, t):
 
     # ---- C event: match length
     sym_len = jnp.clip(length - p.min_len, 0, ppm.LEN_W - 1)
-    tbs, rows_l, cums_l, tot_l = ppm.read_len(tbs, is_match)
+    tbs, rows_l, cums_l, tot_l = ppm.read_len(tbs, is_match, len_ctx)
     cl_raw, fl_raw = tb.cum_frq_of(rows_l, cums_l, sym_len)
     cc, fc = rans.norm_cf(
         cl_raw, jnp.maximum(fl_raw, 1), jnp.maximum(tot_l, 1)
@@ -631,7 +669,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, n, c, t):
     tbs = ppm.apply_updates(
         tbs, coding, ctx2, sym_a, byte, f_byte, p1, h3, pred, conf,
         sym_len, sym_idx, sym_dst if p.mode == "X" else None,
-        o2_halve_delta=o2_hd,
+        o2_halve_delta=o2_hd, len_ctx=len_ctx, idx_ctx=idx_ctx,
     )
     c = dict(c)
     c["tables"] = tbs
@@ -743,13 +781,21 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     sym1, c1_raw, f1_raw = tb.find_symbol(wmod, cums1, tgt1.astype(_i32))
     sym_idx = jnp.zeros((p.lanes,), _i32)
     sym_dst = jnp.zeros((p.lanes,), _i32)
+    len_ctx = jnp.zeros((p.lanes,), _i32)
+    idx_ctx = jnp.zeros((p.lanes,), _i32)
+    rolz_rows = None
     if p.mode == "R":
-        tbs, rows_i, cums_i, tot_i = ppm.read_idx(tbs, is_match)
+        rctx_r = _rolz_ctx(c, p)
+        rolz_rows = c["rolz_ent"][rctx_r]  # one gather serves idx ctx + src
+        fill = jnp.sum((rolz_rows[..., 0] > 0).astype(_i32), axis=1)
+        idx_ctx = _fill_bucket(fill)
+        tbs, rows_i, cums_i, tot_i = ppm.read_idx(tbs, is_match, idx_ctx)
         tgt_i = rans.dec_target(slot_b, jnp.maximum(tot_i, 1))
         sym_i, ci_raw, fi_raw = tb.find_symbol(
             rows_i, cums_i, tgt_i.astype(_i32)
         )
         sym_idx = sym_i
+        len_ctx = _rec_bucket(sym_idx)
         cb_raw = jnp.where(is_esc, c1_raw, ci_raw)
         fb_raw = jnp.where(is_esc, f1_raw, fi_raw)
         tot_b = jnp.where(is_esc, tot1, tot_i)
@@ -775,7 +821,12 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     x, base = advance(x, base, cb, fb)
 
     # ---- C event: match length
-    tbs, rows_l, cums_l, tot_l = ppm.read_len(tbs, is_match)
+    if p.mode == "X":
+        k_pre = jnp.clip(jnp.where(
+            sym_dst == SYM_DST_REPEAT, _dist_bucket(c["prev_dist"]), sym_dst
+        ), 0, 24)
+        len_ctx = jnp.clip(k_pre // 6, 0, 3)
+    tbs, rows_l, cums_l, tot_l = ppm.read_len(tbs, is_match, len_ctx)
     slot_c = rans.dec_slot(x)
     tgt_l = rans.dec_target(slot_c, jnp.maximum(tot_l, 1))
     sym_l, cl_raw, fl_raw = tb.find_symbol(rows_l, cums_l, tgt_l.astype(_i32))
@@ -814,8 +865,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
 
     # ---- resolve the byte
     if p.mode == "R":
-        rctx = _rolz_ctx(c, p)
-        src = _rolz_src_of_idx(c, rctx, sym_idx, p)
+        src = _rolz_src_of_rows(c, rctx_r, rolz_rows, sym_idx, p)
     elif p.mode == "X":
         src = pos - dist
     else:
@@ -836,7 +886,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
         tbs, coding, ctx2, sym_a, byte, f_byte, p1, h3, pred, conf,
         jnp.where(is_match, sym_l, 0), sym_idx,
         sym_dst if p.mode == "X" else None,
-        o2_halve_delta=o2_hd,
+        o2_halve_delta=o2_hd, len_ctx=len_ctx, idx_ctx=idx_ctx,
     )
     c = dict(c)
     c["tables"] = tbs

@@ -62,6 +62,7 @@ IDX_CAP = 24576
 DST_INC = _env("DST_INC", 16)  # LZ77 distance-bucket model (~roxmain's
 DST_CAP = 24576  # chained pos_models, roxmain/cr-coder.c:242-258)
 DST_W = 32  # buckets 0..23 = bit_length(dist)-1, 24 = repeat-prev
+N_SHARED_CTX = 4  # context buckets for the len/idx shared models
 IDX_W = 64
 O2_NCTX = 1 << 16
 O1_NCTX = 256
@@ -87,8 +88,8 @@ def init_tables(match_enabled: bool, o3_bits: int = 22) -> dict:
         "o2": tb.make_table(O2_NCTX, O2_W, o2_row),
         "o1": tb.make_table(O1_NCTX, O1_NCTX, jnp.ones((O1_NCTX,), _i32)),
         "o3": jnp.zeros((o3_size,), _i32),  # conf<<8 | pred, init pred=0 conf=0
-        "len": jnp.ones((LEN_W,), _i32),
-        "idx": jnp.ones((IDX_W,), _i32),
+        "len": jnp.ones((N_SHARED_CTX, LEN_W), _i32),
+        "idx": jnp.ones((N_SHARED_CTX, IDX_W), _i32),
         "dst": jnp.ones((DST_W,), _i32),
     }
 
@@ -150,40 +151,57 @@ def read_o1_excl(t, p1, o2_rows, pred, esc_mask):
     return t, rows, wmod, cums, tb.row_total(wmod)
 
 
-def read_len(t, match_mask):
-    """Shared match-length distribution (C event of match lanes)."""
-    return _read_shared(t, match_mask, "len", LEN_CAP)
+def read_len(t, match_mask, ctx):
+    """Shared match-length distribution (C event of match lanes),
+    conditioned on a small both-sides-computable context (recency bucket
+    of the chosen ROLZ index / distance bucket for 'X')."""
+    return _read_shared_ctx(t, match_mask, "len", LEN_CAP, ctx)
 
 
-def read_idx(t, match_mask):
-    """Shared ROLZ bucket-index distribution (B event of match lanes;
-    the analogue of rolzmain's idx_model, cr-coder.c:214-226)."""
-    return _read_shared(t, match_mask, "idx", IDX_CAP)
+def read_idx(t, match_mask, ctx):
+    """Shared ROLZ bucket-index distribution (B event of match lanes; the
+    analogue of rolzmain's idx_model, cr-coder.c:214-226), conditioned on
+    the bucket's fill quartile."""
+    return _read_shared_ctx(t, match_mask, "idx", IDX_CAP, ctx)
 
 
 def read_dst(t, match_mask):
     """Shared LZ77 distance-bucket distribution (B event of match lanes in
     mode 'X'; the analogue of roxmain's chained pos_models)."""
-    return _read_shared(t, match_mask, "dst", DST_CAP)
-
-
-def _read_shared(t, mask, key, cap):
-    """Dense shared-row model: one [W] vector, rescaled in place when any
-    participating lane reads it over cap (same evolution as the winner-
-    dedup path: the row is identical across lanes)."""
-    row = t[key]
-    hot = jnp.any(mask)
-    for _ in range(tb.HALVE_ROUNDS):
-        need = hot & (jnp.sum(row) > cap)
-        row = jnp.where(need, (row + 1) >> 1, row)
-    t = dict(t)
-    t[key] = row
-    s_lanes = mask.shape[0]
-    rows = jnp.broadcast_to(row, (s_lanes, row.shape[0]))
-    cums = jnp.broadcast_to(
-        tb.exclusive_cumsum(row[None, :])[0], rows.shape
+    return _read_shared_ctx(
+        t, match_mask, "dst", DST_CAP, jnp.zeros_like(match_mask, _i32),
+        n_ctx=1,
     )
-    return t, rows, cums, jnp.broadcast_to(jnp.sum(row), (s_lanes,))
+
+
+def _read_shared_ctx(t, mask, key, cap, ctx, n_ctx=N_SHARED_CTX):
+    """Dense shared model with a tiny context: [n_ctx, W] rows kept fully
+    dense (per-lane selection is a where-chain, never a gather — exact and
+    scatter-free).  A context row rescales when any participating lane
+    reads it over cap."""
+    tab = t[key]
+    if tab.ndim == 1:
+        tab = tab[None, :]
+    s_lanes = mask.shape[0]
+    ctx = jnp.clip(ctx, 0, n_ctx - 1)
+    for _ in range(tb.HALVE_ROUNDS):
+        hot = jnp.zeros((n_ctx,), bool)
+        for r in range(n_ctx):
+            hot = hot.at[r].set(jnp.any(mask & (ctx == r)))
+        need = hot & (jnp.sum(tab, axis=1) > cap)
+        tab = jnp.where(need[:, None], (tab + 1) >> 1, tab)
+    t = dict(t)
+    t[key] = tab if n_ctx > 1 else tab[0]
+    cums_tab = tb.exclusive_cumsum(tab)
+    rows = jnp.broadcast_to(tab[0], (s_lanes, tab.shape[1]))
+    cums = jnp.broadcast_to(cums_tab[0], rows.shape)
+    tots = jnp.broadcast_to(jnp.sum(tab[0]), (s_lanes,))
+    for r in range(1, n_ctx):
+        sel = (ctx == r)[:, None]
+        rows = jnp.where(sel, tab[r], rows)
+        cums = jnp.where(sel, cums_tab[r], cums)
+        tots = jnp.where(sel[:, 0], jnp.sum(tab[r]), tots)
+    return t, rows, cums, tots
 
 
 def apply_updates(
@@ -201,6 +219,8 @@ def apply_updates(
     sym_idx=None,
     sym_dst=None,
     o2_halve_delta=None,
+    len_ctx=None,
+    idx_ctx=None,
 ):
     """All model updates for one step, after the events are coded.
 
@@ -216,6 +236,10 @@ def apply_updates(
     is_match = coding & (sym_a == SYM_MATCH)
     t = dict(t)
     s_lanes = ctx2.shape[0]
+    if len_ctx is None:
+        len_ctx = jnp.zeros_like(sym_len)
+    if idx_ctx is None:
+        idx_ctx = jnp.zeros_like(sym_len)
 
     # --- o2: one fused row-delta scatter-add --------------------------------
     # (a) rescale delta from read_o2 (winner lanes only); (b) the coded A
@@ -256,16 +280,25 @@ def apply_updates(
     t["o1"] = t["o1"] + d1 * INC1
 
     # --- len / idx / dst: dense one-hot reductions --------------------------
-    def bump(row, sym, mask, inc):
+    def bump(tab, sym, mask, inc, ctx=None):
+        w = tab.shape[-1]
         oh = (
-            jax.lax.broadcasted_iota(_i32, (s_lanes, row.shape[0]), 1)
+            jax.lax.broadcasted_iota(_i32, (s_lanes, w), 1)
             == sym[:, None]
         ) & mask[:, None]
-        return row + jnp.sum(oh.astype(_i32), axis=0) * inc
+        if tab.ndim == 1:
+            return tab + jnp.sum(oh.astype(_i32), axis=0) * inc
+        ctx = jnp.clip(ctx, 0, tab.shape[0] - 1)
+        for r in range(tab.shape[0]):
+            tab = tab.at[r].add(
+                jnp.sum((oh & (ctx == r)[:, None]).astype(_i32), axis=0)
+                * inc
+            )
+        return tab
 
-    t["len"] = bump(t["len"], sym_len, is_match, LEN_INC)
+    t["len"] = bump(t["len"], sym_len, is_match, LEN_INC, len_ctx)
     if sym_idx is not None:
-        t["idx"] = bump(t["idx"], sym_idx, is_match, IDX_INC)
+        t["idx"] = bump(t["idx"], sym_idx, is_match, IDX_INC, idx_ctx)
     if sym_dst is not None:
         t["dst"] = bump(t["dst"], sym_dst, is_match, DST_INC)
 
