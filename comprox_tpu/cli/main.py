@@ -94,6 +94,9 @@ def run(codec_name: str, argv) -> int:
     enable_compilation_cache()
     prog, mode, inp, outp, opts = parse_args([codec_name] + list(argv))
     quiet = opts["quiet"]
+    from comprox_tpu.utils.profiling import Progress
+
+    meter = Progress(enabled=not quiet)
     t0 = time.time()
     if mode == "e":
         data = np.fromfile(inp, np.uint8)
@@ -108,7 +111,7 @@ def run(codec_name: str, argv) -> int:
         with open(outp, "wb") as f:
             csize = encode_stream(
                 data, f, cp, filters=opts["filters"], mesh=mesh,
-                precomp_only=opts["precomp"],
+                precomp_only=opts["precomp"], progress=meter.update,
             )
         dt = max(time.time() - t0, 1e-9)
         # same per-run stats as the reference driver (src/main.c:318-329)

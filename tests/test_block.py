@@ -84,3 +84,12 @@ def test_all_byte_values():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_roundtrip_medium_geometry():
+    """Geometry-sensitive regression (bugs have appeared only at larger
+    S/T than the tiny test params): one medium block per codec mode."""
+    for mode, ml in [("P", 4), ("R", 5), ("X", 8)]:
+        p = BlockParams(lanes=64, steps=512, mode=mode, min_len=ml,
+                        o3_bits=16, rolz_bits=12, rolz_depth=32)
+        roundtrip(corpus("text", p.capacity - 13, seed=42), p)
