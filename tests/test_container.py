@@ -75,3 +75,27 @@ def test_precomp_only_roundtrip():
     decode_stream(buf, out)
     assert out.getvalue() == data.tobytes()
     assert csize < data.size  # substitution alone must shrink wordy text
+
+
+@pytest.mark.parametrize("codec", [b"P", b"R", b"X"])
+def test_fuzzed_payload_fails_clean(codec):
+    """Adversarial payloads must raise ValueError, never crash or hang
+    (the reference decodes garbage silently, SURVEY §5)."""
+    from comprox_tpu.codec.block import decode_block
+
+    cp = params_for(codec)
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        n_words = int(rng.integers(4, 200))
+        payload = (
+            np.array([n_words], np.uint32).tobytes()
+            + rng.integers(0, 2**32, cp.block.lanes, dtype=np.uint32)
+            .astype("<u4").tobytes()
+            + rng.integers(0, 2**16, n_words, dtype=np.uint16)
+            .astype("<u2").tobytes()
+        )
+        try:
+            out = decode_block(payload, 500, cp.block)
+            assert out.size == 500  # decoded garbage is acceptable...
+        except ValueError:
+            pass  # ...and a clean rejection is the expected path
