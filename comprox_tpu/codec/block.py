@@ -271,10 +271,6 @@ def _rolz_slot_of_recency(c, rctx, rec_idx, p: BlockParams):
     return jnp.mod(w - 1 - rec_idx, p.rolz_depth)
 
 
-def _rolz_src_of_idx(c, rctx, rec_idx, p: BlockParams):
-    return _rolz_src_of_rows(c, rctx, c["rolz_ent"][rctx], rec_idx, p)
-
-
 def _rolz_src_of_rows(c, rctx, ent_rows, rec_idx, p: BlockParams):
     """Entry position for a coded recency index, given already-gathered
     bucket rows (one gather serves fill-context and source lookup)."""

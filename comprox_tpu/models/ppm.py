@@ -74,7 +74,6 @@ _i32 = jnp.int32
 _STICKY2 = jnp.zeros((O2_W,), bool).at[SYM_HIT].set(True).at[SYM_ESC].set(
     True
 ).at[SYM_MATCH].set(True)
-_STICKY_ALL = jnp.ones((1,), bool)  # broadcast: ceil-halve every slot
 
 
 def init_tables(match_enabled: bool, o3_bits: int = 22) -> dict:

@@ -88,20 +88,6 @@ def elect_winners(idx, mask):
     return jnp.zeros((s,), bool).at[order].set(winner_sorted)
 
 
-def write_rows_dedup(table, ctx, rows, mask):
-    """Write whole rows back for (deduplicated) lanes flagged in ``mask``."""
-    winners = elect_winners(ctx, mask)
-    safe_ctx = jnp.where(winners, ctx, table.shape[0])  # OOB rows dropped
-    table = table.at[safe_ctx].set(rows, mode="drop")
-    return table
-
-
-def scatter_add(table, ctx, sym, delta, mask):
-    """table[ctx, sym] += delta where mask (masked lanes add 0)."""
-    d = jnp.where(mask, delta, 0).astype(table.dtype)
-    return table.at[ctx, sym].add(d, mode="drop")
-
-
 def exclusive_cumsum(rows):
     """Exclusive prefix sum along the last axis: integer Hillis-Steele.
 
