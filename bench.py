@@ -7,9 +7,9 @@ hardware-independent corpus (BASELINE.md: 16.2 MB/s on doc text, Xeon x4).
 Round trip is verified bit-exact before any number is reported.
 
 Env knobs:
-  BENCH_MB      corpus size in MiB          (default 2)
+  BENCH_MB      corpus size in MiB          (default 8)
   BENCH_LANES   lanes per block             (default 512)
-  BENCH_BLOCK   block capacity in MiB       (default 0.5)
+  BENCH_BLOCK   block capacity in MiB       (default 8)
 """
 
 from __future__ import annotations
@@ -53,9 +53,9 @@ def build_corpus(n_bytes: int) -> np.ndarray:
 
 
 def main() -> None:
-    corpus_mb = float(os.environ.get("BENCH_MB", "2"))
+    corpus_mb = float(os.environ.get("BENCH_MB", "8"))
     lanes = int(os.environ.get("BENCH_LANES", "512"))
-    block_mb = float(os.environ.get("BENCH_BLOCK", "0.5"))
+    block_mb = float(os.environ.get("BENCH_BLOCK", "8"))
 
     from comprox_tpu.utils.cache import enable_compilation_cache
 
@@ -70,8 +70,9 @@ def main() -> None:
     cp = ContainerParams(codec=b"R", block=bp)
     data = build_corpus(int(corpus_mb * 1048576))
 
-    # warmup: compile encode+decode on a single block
-    warm = data[: bp.capacity]
+    # warmup: compile encode+decode (shapes depend only on the geometry,
+    # so a small slice compiles everything)
+    warm = data[: min(bp.capacity, 1 << 20)]
     buf = io.BytesIO()
     container.encode_stream(warm, buf, cp)
     buf.seek(0)

@@ -36,7 +36,10 @@ switches:
   -F     enable content filters
   -p     dictionary precompress only
   -q     quiet mode
-  -j[n]  encode blocks data-parallel over n (default: all) devices
+  -j[n]  code blocks data-parallel over n (default: all) devices
+  -m<n>  match search window cap (ref -m match depth; default 250)
+         (the reference's -f flexible parsing is always on: the encoder
+          extends top-K candidates and lazy-parses by default)
 """
 
 CODEC_BYTE = {"crp": b"P", "crx": b"X", "crz": b"R"}
@@ -47,7 +50,7 @@ def parse_args(argv):
     args = [a for a in argv[1:] if not a.startswith("-")]
     switches = [a for a in argv[1:] if a.startswith("-")]
     opts = {"block_mb": 16, "lanes": 256, "filters": False, "quiet": False,
-            "precomp": False, "jobs": 0}
+            "precomp": False, "jobs": 0, "window": 250}
     for s in switches:
         if s.startswith("-b"):
             opts["block_mb"] = float(s[2:])
@@ -61,6 +64,8 @@ def parse_args(argv):
             opts["quiet"] = True
         elif s.startswith("-j"):
             opts["jobs"] = int(s[2:] or "0") or -1
+        elif s.startswith("-m"):
+            opts["window"] = max(8, min(250, int(s[2:] or "250")))
         else:
             raise SystemExit(USAGE.format(prog=prog))
     if len(args) != 3 or args[0] not in ("e", "d"):
@@ -79,6 +84,7 @@ def make_params(codec_name: str, opts) -> ContainerParams:
         steps=steps,
         mode=mode,
         min_len={"P": 4, "R": 5, "X": 8}[mode],
+        window=opts.get("window", 250),
     )
     return ContainerParams(codec=CODEC_BYTE.get(codec_name, b"P"), block=bp)
 
