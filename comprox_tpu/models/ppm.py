@@ -139,9 +139,18 @@ def read_o1_excl(t, p1, o2_rows, pred, esc_mask):
     o1 = jnp.where(need[:, None], (o1 + 1) >> 1, o1)
     t = dict(t)
     t["o1"] = o1
-    # row READ stays a gather: a one-hot matmul would be bf16-inexact on
-    # TPU for values > 256 (MXU f32 dots run as bf16 passes)
-    rows = o1[p1]
+    # row read as a one-hot matmul: exact at Precision.HIGHEST (0/1 times
+    # int < 2^24, see models/tables.py) and avoids a serialized gather
+    oh = (
+        jax.lax.broadcasted_iota(_i32, (p1.shape[0], O1_NCTX), 1)
+        == p1[:, None]
+    )
+    rows = jnp.dot(
+        oh.astype(jnp.float32),
+        o1.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).astype(_i32)
     w = rows * 8 - 7  # cr-ppm.c:98 M_freq_o1
     slot_ids = jax.lax.broadcasted_iota(_i32, rows.shape, 1)
     excluded = (o2_rows[:, :256] > 0) | (slot_ids == pred[:, None])

@@ -88,16 +88,40 @@ def elect_winners(idx, mask):
     return jnp.zeros((s,), bool).at[order].set(winner_sorted)
 
 
-def exclusive_cumsum(rows):
-    """Exclusive prefix sum along the last axis: integer Hillis-Steele.
+import os as _os
 
-    jnp.cumsum lowers to a SEQUENTIAL loop on TPU (~29us for [256, 260]);
-    an f32 triangular matmul is fast but NOT exact on TPU (MXU f32 dots
-    default to bf16 passes — this corrupted streams on-chip while passing
-    on CPU).  log2(W) shifted integer adds are exact everywhere and pure
-    VPU work that fuses.
-    """
+_TRI_CACHE: dict = {}
+# Prefix sums as MXU matmuls: jnp.cumsum lowers to a SEQUENTIAL loop on
+# TPU (~29us for [256,260]) and Hillis-Steele costs ~log2(W) dependent
+# vector rounds.  A DEFAULT-precision f32 matmul is NOT exact on TPU (MXU
+# f32 dots run as single-pass bf16 — this corrupted streams on-chip while
+# passing on CPU), but Precision.HIGHEST decomposes each operand into
+# bf16 parts exactly; with a 0/1 triangular matrix and integer row values
+# < 2^24 every partial product and f32 accumulation is exact.  The rANS
+# drain invariant fails loudly if any backend ever violates this.
+# CPX_NO_MATMUL_CUMSUM=1 falls back to the integer ladder.
+_MATMUL_CUMSUM = _os.environ.get("CPX_NO_MATMUL_CUMSUM") != "1"
+
+
+def _strict_upper_tri(w: int):
+    if w not in _TRI_CACHE:
+        import numpy as _np
+
+        _TRI_CACHE[w] = _np.triu(_np.ones((w, w), _np.float32), k=1)
+    return _TRI_CACHE[w]
+
+
+def exclusive_cumsum(rows):
+    """Exclusive prefix sum along the last axis (exact; see note above)."""
     w = rows.shape[-1]
+    if _MATMUL_CUMSUM and w >= 64:
+        out = jnp.dot(
+            rows.astype(jnp.float32),
+            _strict_upper_tri(w),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(rows.dtype)
     inc = rows
     k = 1
     while k < w:
