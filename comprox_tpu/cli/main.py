@@ -29,7 +29,7 @@ from comprox_tpu.codec.container import (
 )
 
 USAGE = """\
-usage: {prog} e|d <input> <output> [switches]
+usage: {prog} e|d <input> <output> [switches]   ('-' = stdin/stdout)
 switches:
   -b<n>  block size in MB (default 16)
   -l<n>  lanes per block (default 256)
@@ -47,8 +47,8 @@ CODEC_BYTE = {"crp": b"P", "crx": b"X", "crz": b"R"}
 
 def parse_args(argv):
     prog = argv[0] if argv else "crp"
-    args = [a for a in argv[1:] if not a.startswith("-")]
-    switches = [a for a in argv[1:] if a.startswith("-")]
+    args = [a for a in argv[1:] if a == "-" or not a.startswith("-")]
+    switches = [a for a in argv[1:] if a != "-" and a.startswith("-")]
     opts = {"block_mb": 16, "lanes": 256, "filters": False, "quiet": False,
             "precomp": False, "jobs": 0, "window": 250}
     for s in switches:
@@ -105,7 +105,10 @@ def run(codec_name: str, argv) -> int:
     meter = Progress(enabled=not quiet)
     t0 = time.time()
     if mode == "e":
-        data = np.fromfile(inp, np.uint8)
+        if inp == "-":
+            data = np.frombuffer(sys.stdin.buffer.read(), np.uint8)
+        else:
+            data = np.fromfile(inp, np.uint8)
         cp = make_params(codec_name, opts)
         mesh = None
         if opts["jobs"]:
@@ -114,11 +117,15 @@ def run(codec_name: str, argv) -> int:
 
             nd = len(jax.devices())
             mesh = make_mesh(None if opts["jobs"] < 0 else min(opts["jobs"], nd))
-        with open(outp, "wb") as f:
+        f = sys.stdout.buffer if outp == "-" else open(outp, "wb")
+        try:
             csize = encode_stream(
                 data, f, cp, filters=opts["filters"], mesh=mesh,
                 precomp_only=opts["precomp"], progress=meter.update,
             )
+        finally:
+            if outp != "-":
+                f.close()
         dt = max(time.time() - t0, 1e-9)
         # same per-run stats as the reference driver (src/main.c:318-329)
         log(quiet, f"encode-speed: {data.size / dt / 1e6:.2f} MB/s")
@@ -134,8 +141,21 @@ def run(codec_name: str, argv) -> int:
 
             nd = len(jax.devices())
             mesh = make_mesh(None if opts["jobs"] < 0 else min(opts["jobs"], nd))
-        with open(inp, "rb") as f, open(outp, "wb") as g:
+        import io as _io
+
+        f = (
+            _io.BytesIO(sys.stdin.buffer.read())
+            if inp == "-"
+            else open(inp, "rb")
+        )
+        g = sys.stdout.buffer if outp == "-" else open(outp, "wb")
+        try:
             total = decode_stream(f, g, mesh=mesh)
+        finally:
+            if inp != "-":
+                f.close()
+            if outp != "-":
+                g.close()
         dt = max(time.time() - t0, 1e-9)
         log(quiet, f"decode-speed: {total / dt / 1e6:.2f} MB/s")
         log(quiet, f"cost-time:    {dt:.3f} s")
