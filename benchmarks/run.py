@@ -20,14 +20,15 @@ from pathlib import Path
 import numpy as np
 
 
-def run_ours(name: str, data: np.ndarray, lanes: int, block_mb: float):
+def run_ours(name: str, data: np.ndarray, lanes: int, block_mb: float,
+             filters: bool = False):
     from comprox_tpu.cli.main import make_params
     from comprox_tpu.codec.container import decode_stream, encode_stream
 
     cp = make_params(name, {"lanes": lanes, "block_mb": block_mb})
     buf = io.BytesIO()
     t0 = time.time()
-    csize = encode_stream(data, buf, cp, dictionary=True)
+    csize = encode_stream(data, buf, cp, dictionary=True, filters=filters)
     enc_s = time.time() - t0
     buf.seek(0)
     out = io.BytesIO()
@@ -58,6 +59,7 @@ def main():
     ap.add_argument("--lanes", type=int, default=256)
     ap.add_argument("--block-mb", type=float, default=8)
     ap.add_argument("--ref", default=None, help="reference bin dir")
+    ap.add_argument("--filters", action="store_true")
     args = ap.parse_args()
     path = Path(args.file)
     data = np.fromfile(path, np.uint8)
@@ -66,7 +68,7 @@ def main():
     rows = []
     for name in args.codecs.split(","):
         csize, enc_s, dec_s, ok = run_ours(
-            name, data, args.lanes, args.block_mb
+            name, data, args.lanes, args.block_mb, args.filters
         )
         rows.append((name, csize, enc_s, dec_s, ok))
     for tool, cc, dd in [
