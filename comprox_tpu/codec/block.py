@@ -81,18 +81,31 @@ class BlockParams:
     o3_bits: int = 22  # o3 predictor hash width (ref: 22, cr-ppm.h:39)
     rolz_bits: int = 18  # ROLZ bucket count    (ref: 2^18, rolz cr-matcher.h)
     rolz_depth: int = 64  # positions per bucket (ref: 64)
+    # encoder-only search policy (not format-relevant: the chosen index/
+    # distance is coded) — candidates fully probed at pos and at pos+1
+    # (lazy parse).  Each extra candidate costs one serialized row-gather
+    # per step on TPU (~the single largest encode cost, PERF.md).
+    top_k: int = 4
+    lazy_top_k: int = 4
 
     @property
     def capacity(self) -> int:
         return self.lanes * self.steps
 
     @property
-    def stream_pad(self) -> int:
+    def stream_fallback_words(self) -> int:
         # the stored-block fallback guarantees container payloads are
         # smaller than the raw block, so their word streams fit in
-        # capacity/2 words; a fixed pad keeps decode at ONE compilation
-        # per geometry
+        # capacity/2 words
         return self.capacity // 2 + 16
+
+    @property
+    def stream_pad(self) -> int:
+        # buffer size for streams within the fallback bound; a fixed pad
+        # keeps decode at ONE compilation per geometry.  The n_slots*lanes
+        # slack keeps the decoder's per-step window slice (scalar-start
+        # dynamic_slice, which XLA clamps) in bounds at the stream tail.
+        return self.stream_fallback_words + self.n_slots * self.lanes
 
     @property
     def n_slots(self) -> int:
@@ -104,7 +117,7 @@ class BlockParams:
         # absolute worst case: n_slots events/byte, <=1 word/event (for
         # raw decode_block calls on adversarial payloads, bypassing the
         # container's stored fallback)
-        return self.n_slots * self.capacity + 16
+        return self.n_slots * self.capacity + 16 + self.n_slots * self.lanes
 
 
 def lzp_hash4(ctx4):
@@ -179,9 +192,13 @@ def _init_carry(p: BlockParams, enc_side: bool):
         # Entries pack (pos+1, prefix4) in one table: random accesses cost
         # ~0.28us per ROW on TPU regardless of width, so one wide gather/
         # scatter beats two narrow ones.
+        # No write pointer: positions strictly increase with time, so
+        # recency order IS descending-position order and "replace the
+        # oldest" (min position, empties = 0) IS the circular insert —
+        # bit-identical bucket evolution with 2-3 fewer random-access
+        # ops per step (each ~0.28us/index serialized, PERF.md).
         nb = 1 << p.rolz_bits
         c["rolz_ent"] = jnp.zeros((nb, p.rolz_depth, 2), _i32)
-        c["rolz_w"] = jnp.zeros((nb,), _i32)
     elif p.mode == "P":
         c["lzp2"] = jnp.zeros((1 << 16,), _i32)
         c["lzp4"] = jnp.zeros((LZP4_SIZE,), _i32)
@@ -264,20 +281,27 @@ def _rolz_ctx(c, p: BlockParams):
     return rolz_hash3((c["ctx4"] & 0xFFFFFF).astype(_i32), p.rolz_bits)
 
 
-def _rolz_slot_of_recency(c, rctx, rec_idx, p: BlockParams):
-    """Map a coded recency index (0 = most recent insert) to the physical
-    bucket slot, using the bucket's write pointer."""
-    w = c["rolz_w"][rctx]
-    return jnp.mod(w - 1 - rec_idx, p.rolz_depth)
+def _recency_ranks(cand_pos):
+    """Recency index per bucket slot from positions alone: rank by
+    position DESCENDING (positions are unique and strictly increase with
+    time; empty slots hold 0 and sink to the highest ranks, tie-broken by
+    slot id for determinism).  [S, D] -> [S, D]."""
+    pi = cand_pos[:, :, None]
+    pj = cand_pos[:, None, :]
+    slot = jax.lax.broadcasted_iota(_i32, cand_pos.shape, 1)
+    newer = (pj > pi) | ((pj == pi) & (slot[:, None, :] > slot[:, :, None]))
+    return jnp.sum(newer.astype(_i32), axis=2)
 
 
-def _rolz_src_of_rows(c, rctx, ent_rows, rec_idx, p: BlockParams):
+def _rolz_src_of_rows(ent_rows, rec_idx):
     """Entry position for a coded recency index, given already-gathered
-    bucket rows (one gather serves fill-context and source lookup)."""
-    slot = _rolz_slot_of_recency(c, rctx, rec_idx, p)
-    return jnp.take_along_axis(
-        ent_rows[..., 0], slot[:, None], axis=1
-    )[:, 0] - 1
+    bucket rows (one gather serves fill-context and source lookup).  The
+    slot is the one whose descending-position rank equals the index — no
+    write-pointer state, no extra gather."""
+    cand_pos = ent_rows[..., 0]
+    rec = _recency_ranks(cand_pos)
+    sel = rec == rec_idx[:, None]
+    return jnp.sum(jnp.where(sel, cand_pos, 0), axis=1) - 1
 
 
 # --------------------------------------------------------------------------
@@ -302,23 +326,33 @@ def _common_reads(c, t, n, p: BlockParams):
     return lanes, pos, active, coding, copying, p1, ctx2, h3, pred, conf
 
 
-def _bucket_insert(c, p: BlockParams, rctx, ins, pos, nx4):
-    """Insert (q+1, prefix) for q = pos-3 into circular buckets.  Multiple
-    lanes inserting into one bucket in the same step get consecutive
-    circular slots ordered by lane id (deterministic)."""
+def _bucket_insert(c, p: BlockParams, rctx, ins, pos, nx4, old_rows=None):
+    """Insert (q+1, prefix) for q = pos-3, replacing each bucket's OLDEST
+    entry (min position; empties hold 0 and are consumed first) — bit-
+    identical to a circular write pointer because positions strictly
+    increase with time, without the pointer's gather+scatter.  Multiple
+    lanes inserting into one bucket in the same step take consecutive
+    oldest slots ordered by lane id (deterministic)."""
     same = (rctx[:, None] == rctx[None, :]) & ins[None, :]
     lower = jnp.tril(jnp.ones((p.lanes, p.lanes), bool), k=-1)
     rank = jnp.sum(same & lower, axis=1)
     ins = ins & (rank < p.rolz_depth)
-    w_old = c["rolz_w"][rctx]
-    slot = jnp.mod(w_old + rank, p.rolz_depth)
+    old = c["rolz_ent"][rctx] if old_rows is None else old_rows
+    age = (p.rolz_depth - 1) - _recency_ranks(old[..., 0])  # oldest = 0
+    slot_ids = jax.lax.broadcasted_iota(_i32, age.shape, 1)
+    slot = jnp.sum(jnp.where(age == rank[:, None], slot_ids, 0), axis=1)
     safe_r = jnp.where(ins, rctx, 1 << p.rolz_bits)
     q = pos - 3
     ent = jnp.stack([q + 1, nx4.astype(_i32)], axis=-1)  # [S, 2]
-    c["rolz_ent"] = c["rolz_ent"].at[safe_r, slot].set(ent, mode="drop")
-    c["rolz_w"] = c["rolz_w"].at[safe_r].add(
-        jnp.where(ins, 1, 0), mode="drop"
-    )
+    # ROW-delta scatter-add with 1D bucket indices, NOT a (bucket, slot)
+    # 2D-index set: the 2D scatter makes XLA pick a different layout for
+    # the scatter than for the row gathers, inserting a full-table layout-
+    # conversion copy EVERY scan step (~0.7ms/step for the 128MB table —
+    # was 75% of decode wall time, found by profile).  Colliding lanes hit
+    # distinct slots, so their row deltas sum correctly.
+    hit = (slot_ids == slot[:, None]) & ins[:, None]  # [S, D]
+    delta = jnp.where(hit[..., None], ent[:, None, :] - old, 0)
+    c["rolz_ent"] = c["rolz_ent"].at[safe_r].add(delta, mode="drop")
     return c
 
 
@@ -417,13 +451,11 @@ def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_flat, cur_win,
         + ((diff & 0xFFFFFF) == 0).astype(_i32)
         + (diff == 0).astype(_i32)
     )
-    w = c["rolz_w"][rctx]
-    slot_ids = jax.lax.broadcasted_iota(_i32, (p.lanes, p.rolz_depth), 1)
-    rec = jnp.mod(w[:, None] - 1 - slot_ids, p.rolz_depth)
+    rec = _recency_ranks(cand_pos)
     fill = jnp.sum((cand_pos > 0).astype(_i32), axis=1)
     score = jnp.where(cand_pos > 0, score, -1)
     rank_key = score * p.rolz_depth + (p.rolz_depth - 1 - rec)
-    k_top = min(4, p.rolz_depth)
+    k_top = min(p.lazy_top_k if probe_only else p.top_k, p.rolz_depth)
     _, top_slots = jax.lax.top_k(rank_key, k_top)
     offs_p = jax.lax.broadcasted_iota(_i32, (p.lanes, PROBE), 1)
     lens, srcs, recs = [], [], []
@@ -532,10 +564,13 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, n, c, t):
         length, src, _, _ = _rolz_best_match(
             c, pos, t, n, p, inp_flat, cur_win, x_keyed=True
         )
-        len_next, _, _, _ = _rolz_best_match(
-            c, pos + 1, t, n, p, inp_flat, cur_win[:, 1:], x_keyed=True,
-            probe_only=True,
-        )
+        if p.lazy_top_k > 0:
+            len_next, _, _, _ = _rolz_best_match(
+                c, pos + 1, t, n, p, inp_flat, cur_win[:, 1:], x_keyed=True,
+                probe_only=True,
+            )
+        else:
+            len_next = jnp.zeros((p.lanes,), _i32)
         ok = (src >= 0) & (src < pos)
         length = jnp.where(ok, length, 0)
         # cost-aware acceptance: a match must out-earn its price, which is
@@ -570,10 +605,14 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, n, c, t):
         # next position promises a strictly better match, hold back one
         # literal instead of committing now.  Pure encoder policy.  The
         # probe is PROBE-deep only: matches >= PROBE are never deferred.
-        len_next, _, _, _ = _rolz_best_match(
-            c, pos + 1, t, n, p, inp_flat, cur_win[:, 1:], probe_only=True,
-            ctx4_override=(c["ctx4"] << 8) | byte.astype(_u32),
-        )
+        if p.lazy_top_k > 0:
+            len_next, _, _, _ = _rolz_best_match(
+                c, pos + 1, t, n, p, inp_flat, cur_win[:, 1:],
+                probe_only=True,
+                ctx4_override=(c["ctx4"] << 8) | byte.astype(_u32),
+            )
+        else:
+            len_next = jnp.zeros((p.lanes,), _i32)
         do_match = (
             valid & (length >= p.min_len) & (len_next <= length + 1)
         )
@@ -744,11 +783,19 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     )
     out_flat = out.reshape(-1)
 
-    def advance(x, base, cx, fx):
+    # ONE scalar-start slice per step covers every word this step can
+    # consume (words are stream-contiguous in (step, slot, lane) order;
+    # <= 1 word per lane per slot); per-slot reads then resolve with
+    # exact one-hot matmuls instead of serialized per-lane gathers.
+    win = jax.lax.dynamic_slice(
+        stream, (base.astype(_i32),), (p.n_slots * p.lanes,)
+    )
+    step_off = jnp.uint32(0)
+
+    def advance(x, off, cx, fx):
         x_tmp, need = rans.dec_advance(x, cx, fx)
-        idx, base = rans.stream_positions(need, base)
-        w = stream[jnp.minimum(idx, stream.shape[0] - 1)]
-        return rans.dec_renorm(x_tmp, need, w), base
+        w, off = rans.stream_window_read(win, need, off)
+        return rans.dec_renorm(x_tmp, need, w), off
 
     # ---- A event
     tbs, rows2, rowmod, cums_a, tot_a, o2_hd = ppm.read_o2(
@@ -761,7 +808,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
         ca_raw, jnp.maximum(fa_raw, 1), jnp.maximum(tot_a, 1)
     )
     ca, fa = rans.select_cf(coding, ca, fa)
-    x, base = advance(x, base, ca, fa)
+    x, step_off = advance(x, step_off, ca, fa)
 
     is_hit = coding & (sym_a == ppm.SYM_HIT)
     is_esc = coding & (sym_a == ppm.SYM_ESC)
@@ -814,7 +861,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
         cb_raw, jnp.maximum(fb_raw, 1), jnp.maximum(tot_b, 1)
     )
     cb, fb = rans.select_cf(act_b, cb, fb)
-    x, base = advance(x, base, cb, fb)
+    x, step_off = advance(x, step_off, cb, fb)
 
     # ---- C event: match length
     if p.mode == "X":
@@ -830,7 +877,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
         cl_raw, jnp.maximum(fl_raw, 1), jnp.maximum(tot_l, 1)
     )
     cc, fc = rans.select_cf(is_match, cc, fc)
-    x, base = advance(x, base, cc, fc)
+    x, step_off = advance(x, step_off, cc, fc)
 
     # ---- D/E events: distance mantissa bits (mode 'X')
     dist = jnp.ones((p.lanes,), _i32)
@@ -846,12 +893,12 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
         fd = jnp.left_shift(jnp.uint32(1), (15 - b_hi).astype(_u32))
         e_hi = jnp.where(act_d, rans.dec_slot(x) // fd, 0).astype(_i32)
         cdx, fdx = rans.select_cf(act_d, e_hi.astype(_u32) * fd, fd)
-        x, base = advance(x, base, cdx, fdx)
+        x, step_off = advance(x, step_off, cdx, fdx)
         act_e = has_extra & (b_lo > 0)
         fe = jnp.left_shift(jnp.uint32(1), (15 - b_lo).astype(_u32))
         e_lo = jnp.where(act_e, rans.dec_slot(x) // fe, 0).astype(_i32)
         cex, fex = rans.select_cf(act_e, e_lo.astype(_u32) * fe, fe)
-        x, base = advance(x, base, cex, fex)
+        x, step_off = advance(x, step_off, cex, fex)
         dist_dec = (
             jnp.left_shift(jnp.ones_like(k_dist), k_dist)
             + jnp.left_shift(e_hi, b_lo)
@@ -861,7 +908,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
 
     # ---- resolve the byte
     if p.mode == "R":
-        src = _rolz_src_of_rows(c, rctx_r, rolz_rows, sym_idx, p)
+        src = _rolz_src_of_rows(rolz_rows, sym_idx)
     elif p.mode == "X":
         src = pos - dist
     else:
@@ -892,7 +939,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     )
     col = jnp.where(active, byte, 0).astype(jnp.uint8)
     out = jax.lax.dynamic_update_slice(out, col[:, None], (0, t))
-    return (c, x, base, out), None
+    return (c, x, base + step_off, out), None
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -995,7 +1042,11 @@ def decode_block(payload: bytes, n: int, p: BlockParams) -> np.ndarray:
     states = np.frombuffer(payload[off : off + 4 * p.lanes], "<u4").copy()
     off += 4 * p.lanes
     stream = np.frombuffer(payload[off : off + 2 * n_words], "<u2").copy()
-    pad = p.stream_pad if n_words <= p.stream_pad else p.stream_pad_max
+    pad = (
+        p.stream_pad
+        if n_words <= p.stream_fallback_words
+        else p.stream_pad_max
+    )
     stream_padded = np.zeros(pad, np.uint16)
     stream_padded[:n_words] = stream
     x, base, out = _decode_scan(

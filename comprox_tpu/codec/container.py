@@ -30,6 +30,7 @@ Layout (all little-endian):
 from __future__ import annotations
 
 import struct
+import zlib
 from dataclasses import dataclass
 from typing import BinaryIO, Callable, Iterator, Optional
 
@@ -127,8 +128,12 @@ def encode_stream(
     written = 21
     if wd is not None:
         blob = dic.pack_dict(wd)
-        dst.write(struct.pack("<I", len(blob)) + blob)
-        written += 4 + len(blob)
+        # CRC over the blob: the dict rides uncoded (no rANS drain check
+        # guards it), so without this a flipped bit decodes to silently
+        # wrong text (found by the corruption probe in /verify)
+        crc = zlib.crc32(blob) & 0xFFFFFFFF
+        dst.write(struct.pack("<II", len(blob), crc) + blob)
+        written += 8 + len(blob)
 
     # stage 1: host-side transforms per block (filters, dictionary)
     staged = []  # (raw_blk, blk_to_code, prefix, bflags)
@@ -212,8 +217,11 @@ def decode_stream(
     cp, flags = read_header(src)
     wd = None
     if flags & F_DICT:
-        (blob_len,) = struct.unpack("<I", src.read(4))
-        wd = dic.unpack_dict(src.read(blob_len))
+        blob_len, crc = struct.unpack("<II", src.read(8))
+        blob = src.read(blob_len)
+        if zlib.crc32(blob) & 0xFFFFFFFF != crc:
+            raise ValueError("corrupt archive: dictionary blob CRC mismatch")
+        wd = dic.unpack_dict(blob)
     if mesh is not None and decode_fn is None:
         # prescan must start at the first block header (after the dict blob)
         decode_fn = _make_mesh_decode_fn(src, cp, mesh)
