@@ -81,6 +81,9 @@ class BlockParams:
     o3_bits: int = 22  # o3 predictor hash width (ref: 22, cr-ppm.h:39)
     rolz_bits: int = 18  # ROLZ bucket count    (ref: 2^18, rolz cr-matcher.h)
     rolz_depth: int = 64  # positions per bucket (ref: 64)
+    rolz_ctx_bytes: int = 3  # context bytes keying a bucket (the reference
+    # switches 3 -> 4 for blocks >= 4MiB: rolzmain/cr-matcher.c:38-42,
+    # set at cr-coder.c:162).  Format-relevant: rides the container header
     # encoder-only search policy (not format-relevant: the chosen index/
     # distance is coded) — candidates fully probed at pos and at pos+1
     # (lazy parse).  Each extra candidate costs one serialized row-gather
@@ -277,8 +280,13 @@ def _fill_bucket(fill):
     return jnp.clip((fill - 1) // 16, 0, 3)
 
 
+def _rolz_key(ctx4, p: BlockParams):
+    mask = 0xFFFFFF if p.rolz_ctx_bytes == 3 else 0xFFFFFFFF
+    return (ctx4 & _u32(mask)).astype(_i32)
+
+
 def _rolz_ctx(c, p: BlockParams):
-    return rolz_hash3((c["ctx4"] & 0xFFFFFF).astype(_i32), p.rolz_bits)
+    return rolz_hash3(_rolz_key(c["ctx4"], p), p.rolz_bits)
 
 
 def _recency_ranks(cand_pos):
@@ -391,9 +399,9 @@ def _post_step(c, t, n, p: BlockParams, pos, active, byte, is_match, src,
         # Insert the entry for position q = pos-3 under context bytes
         # [q-3, q): all of q's 4-byte prefix (bytes q..q+3 = pos-3..pos) is
         # now known on BOTH sides, so the prefix cache is exact.
-        ins = active & (t >= 6)
-        key3 = (ctx4bn & 0xFFFFFF).astype(_i32)  # bytes pos-6..pos-4
-        rctx = rolz_hash3(key3, p.rolz_bits)
+        ins = active & (t >= 7 if p.rolz_ctx_bytes == 4 else t >= 6)
+        # key bytes precede entry position q = pos-3: [q-k, q)
+        rctx = rolz_hash3(_rolz_key(ctx4bn, p), p.rolz_bits)
         c = _bucket_insert(c, p, rctx, ins, pos, _byteswap32(ctx4n))
     elif p.mode == "P":
         # LZP: map context-for-position pos+1 -> pos+1 (stored +1;
@@ -413,6 +421,47 @@ def _post_step(c, t, n, p: BlockParams, pos, active, byte, is_match, src,
     return c
 
 
+def _pack_words(inp_flat):
+    """[n] u8 -> [n/4] u32 little-endian words (built once per encode
+    pass; the match searcher gathers words, not bytes)."""
+    pad = (-inp_flat.shape[0]) % 4
+    if pad:
+        inp_flat = jnp.pad(inp_flat, (0, pad))
+    w = inp_flat.reshape(-1, 4).astype(_u32)
+    return w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
+
+
+def _gather_windows(inp_w32, src, width: int):
+    """[S, width] byte windows starting at per-lane positions ``src``.
+
+    A direct byte gather of [S, width] u8 lowers to an element-serialized
+    gather on TPU (~1ms/step at [512, 250] — measured 38% of encode wall
+    time).  Gathering 4x fewer u32 words and re-aligning with four static
+    slices selected by src&3 cuts the gathered element count 4x; beyond-
+    end reads clamp at word granularity (encoder-policy windows only —
+    lengths are capped to in-range bytes before coding)."""
+    s_lanes = src.shape[0]
+    nw = width // 4 + 2
+    base = jnp.maximum(src, 0)
+    bw = base >> 2
+    offs = jax.lax.broadcasted_iota(_i32, (s_lanes, nw), 1)
+    words = inp_w32[jnp.clip(bw[:, None] + offs, 0, inp_w32.shape[0] - 1)]
+    by = jnp.stack(
+        [
+            words & 0xFF,
+            (words >> 8) & 0xFF,
+            (words >> 16) & 0xFF,
+            (words >> 24) & 0xFF,
+        ],
+        axis=-1,
+    ).reshape(s_lanes, nw * 4)
+    a = base & 3
+    out = by[:, 0:width]
+    for k in range(1, 4):
+        out = jnp.where((a == k)[:, None], by[:, k : k + width], out)
+    return out.astype(_i32)
+
+
 def _prefix_len(cur_win, cand):
     """Length of the common prefix per lane: count positions before the
     first mismatch (prefix-AND via an MXU cumsum of mismatches)."""
@@ -424,7 +473,7 @@ def _prefix_len(cur_win, cand):
 PROBE = 32  # phase-1 candidate probe depth (full window only for winner)
 
 
-def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_flat, cur_win,
+def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_w32, cur_win,
                      x_keyed: bool = False, probe_only: bool = False,
                      ctx4_override=None):
     """Encoder-side candidate search at pos: score all bucket entries by
@@ -440,7 +489,7 @@ def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_flat, cur_win,
         rctx = x_hash4(own_nx4, p.rolz_bits)
     else:
         ctx4 = c["ctx4"] if ctx4_override is None else ctx4_override
-        rctx = rolz_hash3((ctx4 & 0xFFFFFF).astype(_i32), p.rolz_bits)
+        rctx = rolz_hash3(_rolz_key(ctx4, p), p.rolz_bits)
     ent = c["rolz_ent"][rctx]  # [S, D, 2]
     cand_pos = ent[..., 0]
     cand_nx4 = ent[..., 1].astype(_u32)
@@ -457,16 +506,12 @@ def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_flat, cur_win,
     rank_key = score * p.rolz_depth + (p.rolz_depth - 1 - rec)
     k_top = min(p.lazy_top_k if probe_only else p.top_k, p.rolz_depth)
     _, top_slots = jax.lax.top_k(rank_key, k_top)
-    offs_p = jax.lax.broadcasted_iota(_i32, (p.lanes, PROBE), 1)
     lens, srcs, recs = [], [], []
     for k in range(k_top):
         sl = top_slots[:, k]
         src_k = jnp.take_along_axis(cand_pos, sl[:, None], 1)[:, 0] - 1
         sc_k = jnp.take_along_axis(score, sl[:, None], 1)[:, 0]
-        cand = inp_flat[
-            jnp.clip(jnp.maximum(src_k, 0)[:, None] + offs_p, 0,
-                     inp_flat.shape[0] - 1)
-        ]
+        cand = _gather_windows(inp_w32, src_k, PROBE)
         len_k = _prefix_len(cur_win[:, :PROBE], cand)
         lens.append(jnp.where(sc_k == 4, len_k, 0))
         srcs.append(src_k)
@@ -479,11 +524,7 @@ def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_flat, cur_win,
     if not probe_only:
         # phase 2: full-window extension of the winner only
         wlen = p.window
-        offs_w = jax.lax.broadcasted_iota(_i32, (p.lanes, wlen), 1)
-        cand = inp_flat[
-            jnp.clip(jnp.maximum(src, 0)[:, None] + offs_w, 0,
-                     inp_flat.shape[0] - 1)
-        ]
+        cand = _gather_windows(inp_w32, src, wlen)
         full = _prefix_len(cur_win[:, :wlen], cand)
         length = jnp.where(length >= PROBE, full, length)
     cap = jnp.minimum(
@@ -493,14 +534,10 @@ def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_flat, cur_win,
     return jnp.minimum(length, cap), src, sym_idx, fill
 
 
-def _match_window_len(inp_flat, pos, src, t, n, p: BlockParams,
+def _match_window_len(inp_w32, pos, src, t, n, p: BlockParams,
                       cur_win=None):
     """Encoder-side single-candidate match length (LZP path)."""
-    offs = jax.lax.broadcasted_iota(_i32, (p.lanes, p.window), 1)
-    cand = inp_flat[
-        jnp.clip(jnp.maximum(src, 0)[:, None] + offs, 0,
-                 inp_flat.shape[0] - 1)
-    ]
+    cand = _gather_windows(inp_w32, src, p.window)
     length = _prefix_len(cur_win[:, : p.window], cand)
     cap = jnp.minimum(
         jnp.minimum(p.steps - t, n - pos),
@@ -542,7 +579,7 @@ def _dist_extra_events(dist, k_dist, has_extra):
 # --------------------------------------------------------------------------
 
 
-def _encode_model_body(p: BlockParams, inp_pad, inp_flat, n, c, t):
+def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, t):
     (lanes, pos, active, coding, copying, p1, ctx2, h3, pred, conf) = (
         _common_reads(c, t, n, p)
     )
@@ -562,11 +599,11 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, n, c, t):
         # (roxmain's hash-chain search, re-expressed as fixed-depth
         # buckets + top-K extension + lazy probe).
         length, src, _, _ = _rolz_best_match(
-            c, pos, t, n, p, inp_flat, cur_win, x_keyed=True
+            c, pos, t, n, p, inp_w32, cur_win, x_keyed=True
         )
         if p.lazy_top_k > 0:
             len_next, _, _, _ = _rolz_best_match(
-                c, pos + 1, t, n, p, inp_flat, cur_win[:, 1:], x_keyed=True,
+                c, pos + 1, t, n, p, inp_w32, cur_win[:, 1:], x_keyed=True,
                 probe_only=True,
             )
         else:
@@ -598,7 +635,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, n, c, t):
         # rolzmain/cr-matcher.c:122-162).  Free policy — the chosen index
         # is coded, so the decoder never searches.
         length, src, sym_idx, rolz_fill = _rolz_best_match(
-            c, pos, t, n, p, inp_flat, cur_win
+            c, pos, t, n, p, inp_w32, cur_win
         )
         valid = coding & (t >= 7)
         # lazy parsing (shape of rolzmain/cr-matcher.c:186-195): if the
@@ -607,7 +644,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, n, c, t):
         # probe is PROBE-deep only: matches >= PROBE are never deferred.
         if p.lazy_top_k > 0:
             len_next, _, _, _ = _rolz_best_match(
-                c, pos + 1, t, n, p, inp_flat, cur_win[:, 1:],
+                c, pos + 1, t, n, p, inp_w32, cur_win[:, 1:],
                 probe_only=True,
                 ctx4_override=(c["ctx4"] << 8) | byte.astype(_u32),
             )
@@ -623,7 +660,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, n, c, t):
         # self-matches); byte src+k is then decoded strictly before t+k.
         src, ok = _lzp_candidate(c, t, p, inp_flat)
         valid = coding & ok
-        length = _match_window_len(inp_flat, pos, src, t, n, p, cur_win)
+        length = _match_window_len(inp_w32, pos, src, t, n, p, cur_win)
         do_match = valid & (length >= p.min_len)
     else:
         src = jnp.zeros((p.lanes,), _i32)
@@ -741,9 +778,12 @@ def _encode_passes(p: BlockParams, inp, n):
     (states [S] u32, emit [T,n_slots,S] bool, words [T,n_slots,S] u16,
     debug)."""
     inp_flat = inp.reshape(-1)
+    inp_w32 = _pack_words(inp_flat)
     inp_pad = jnp.pad(inp, ((0, 0), (0, p.window + 1)))
     carry = _init_carry(p, enc_side=True)
-    body = functools.partial(_encode_model_body, p, inp_pad, inp_flat, n)
+    body = functools.partial(
+        _encode_model_body, p, inp_pad, inp_flat, inp_w32, n
+    )
     carry, ev = jax.lax.scan(body, carry, jnp.arange(p.steps, dtype=_i32))
     n_slots = p.n_slots
     slot_grids = ev[: 3 * n_slots]

@@ -58,7 +58,7 @@ def write_header(f: BinaryIO, cp: ContainerParams, flags: int = 0) -> None:
     f.write(cp.codec)
     f.write(
         struct.pack(
-            "<BHIBBBBB",
+            "<BHIBBBBBB",
             flags,
             b.lanes,
             b.steps,
@@ -67,6 +67,7 @@ def write_header(f: BinaryIO, cp: ContainerParams, flags: int = 0) -> None:
             1 if b.match else 0,
             b.rolz_bits,
             b.rolz_depth,
+            b.rolz_ctx_bytes,
         )
     )
 
@@ -76,9 +77,10 @@ def read_header(f: BinaryIO) -> tuple[ContainerParams, int]:
     if magic != MAGIC:
         raise ValueError(f"bad magic {magic!r}: not a comprox_tpu archive")
     codec = f.read(1)
-    flags, lanes, steps, o3_bits, min_len, match, rolz_bits, rolz_depth = (
-        struct.unpack("<BHIBBBBB", f.read(12))
-    )
+    (
+        flags, lanes, steps, o3_bits, min_len, match, rolz_bits,
+        rolz_depth, rolz_ctx_bytes,
+    ) = struct.unpack("<BHIBBBBBB", f.read(13))
     bp = BlockParams(
         lanes=lanes,
         steps=steps,
@@ -88,6 +90,7 @@ def read_header(f: BinaryIO) -> tuple[ContainerParams, int]:
         o3_bits=o3_bits,
         rolz_bits=rolz_bits,
         rolz_depth=rolz_depth,
+        rolz_ctx_bytes=rolz_ctx_bytes,
     )
     return ContainerParams(codec=codec, block=bp), flags
 
@@ -125,7 +128,7 @@ def encode_stream(
     wd = dic.build_dictionary(src) if dictionary else None
     flags = (F_FILTER if filters else 0) | (F_DICT if wd else 0)
     write_header(dst, cp, flags=flags)
-    written = 21
+    written = 22
     if wd is not None:
         blob = dic.pack_dict(wd)
         # CRC over the blob: the dict rides uncoded (no rANS drain check
