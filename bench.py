@@ -66,7 +66,13 @@ def main() -> None:
     import io
 
     steps = max(1, int(block_mb * 1048576) // lanes)
-    bp = BlockParams(lanes=lanes, steps=steps, mode="R", min_len=5)
+    bp = BlockParams(
+        lanes=lanes,
+        steps=steps,
+        mode="R",
+        min_len=5,
+        rolz_ctx_bytes=4 if block_mb >= 4 else 3,
+    )
     cp = ContainerParams(codec=b"R", block=bp)
     data = build_corpus(int(corpus_mb * 1048576))
 

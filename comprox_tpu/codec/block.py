@@ -616,6 +616,9 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, t):
         dist_cand = jnp.maximum(pos - src, 1)
         k_cand = _dist_bucket(dist_cand)
         is_rep = dist_cand == c["prev_dist"]
+        # measured (doc-text 256KiB proxy): looser thresholds ADD size —
+        # matched bytes would code at ~4.3 bits through o2/o3 anyway, so
+        # only long matches out-earn their ~(15+k)-bit price
         accept_len = jnp.where(
             is_rep, p.min_len,
             jnp.maximum(p.min_len, 2 + (3 * k_cand) // 4),

@@ -93,3 +93,14 @@ def test_roundtrip_medium_geometry():
         p = BlockParams(lanes=64, steps=512, mode=mode, min_len=ml,
                         o3_bits=16, rolz_bits=12, rolz_depth=32)
         roundtrip(corpus("text", p.capacity - 13, seed=42), p)
+
+
+@pytest.mark.parametrize("name", ["text", "random", "period7"])
+def test_roundtrip_rolz_ctx4(name):
+    """4-byte ROLZ bucket contexts (large-block rule, rolzmain/
+    cr-matcher.c:38-42) must round-trip through the shared insert/query
+    path on both sides."""
+    p = BlockParams(lanes=8, steps=64, mode="R", min_len=5, window=32,
+                    o3_bits=14, rolz_bits=10, rolz_depth=16,
+                    rolz_ctx_bytes=4)
+    roundtrip(corpus(name, p.capacity, seed=5), p)
