@@ -91,6 +91,10 @@ class BlockParams:
     top_k: int = 4
     lazy_top_k: int = 4
 
+    def __post_init__(self):
+        if self.lanes % 8 or self.lanes < 8:
+            raise ValueError("lanes must be a positive multiple of 8")
+
     @property
     def capacity(self) -> int:
         return self.lanes * self.steps
@@ -811,7 +815,12 @@ def _encode_passes(p: BlockParams, inp, n):
     x, (emit, words) = jax.lax.scan(
         rans_body, x, slot_grids, reverse=True
     )
-    return x, emit, words, ev
+    # bit-pack the emission mask on device (8x less device->host traffic;
+    # the axon tunnel moves ~35 MB/s)
+    eb = emit.astype(jnp.uint8).reshape(p.steps, n_slots, p.lanes // 8, 8)
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    emit_packed = jnp.sum(eb << shifts, axis=-1).astype(jnp.uint8)
+    return x, emit_packed, words, ev
 
 
 # --------------------------------------------------------------------------
@@ -1011,8 +1020,12 @@ def encode_block(data: np.ndarray, p: BlockParams) -> bytes:
     assert 0 < n <= p.capacity
     buf = np.zeros((p.lanes, p.steps), np.uint8)
     buf.reshape(-1)[:n] = data
-    states, emit, words, _ = _encode_passes(p, jnp.asarray(buf), jnp.int32(n))
-    emit_np = np.asarray(emit)  # [T, 3, S] in (step, slot, lane) order
+    states, emit_packed, words, _ = _encode_passes(
+        p, jnp.asarray(buf), jnp.int32(n)
+    )
+    emit_np = np.unpackbits(
+        np.asarray(emit_packed), axis=-1, bitorder="little"
+    ).astype(bool)  # [T, n_slots, S] in (step, slot, lane) order
     words_np = np.asarray(words)
     stream = words_np[emit_np]  # C-order compaction == decode read order
     states_np = np.asarray(states)

@@ -49,7 +49,7 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _encode_blocks_sharded(p: BlockParams, mesh: Mesh, inp, n):
     """inp: [B, S, T] u8 sharded over blocks; n: [B] i32.  Returns per-block
-    (states [B,S] u32, emit [B,T,2,S] bool, words [B,T,2,S] u16)."""
+    (states [B,S] u32, emit-bitpack [B,T,ns,S/8] u8, words [B,T,ns,S] u16)."""
 
     def per_device(inp_loc, n_loc):
         def one(blk, nn):
@@ -103,10 +103,15 @@ def encode_blocks(
         chunk = data[b * cap : (b + 1) * cap]
         buf[b].reshape(-1)[: chunk.size] = chunk
         ns[b] = chunk.size
-    states, emit, words = _encode_blocks_sharded(
+    states, emit_packed, words = _encode_blocks_sharded(
         p, mesh, jnp.asarray(buf), jnp.asarray(ns)
     )
-    states, emit, words = map(np.asarray, (states, emit, words))
+    states, emit_packed, words = map(
+        np.asarray, (states, emit_packed, words)
+    )
+    emit = np.unpackbits(emit_packed, axis=-1, bitorder="little").astype(
+        bool
+    )
     payloads = []
     for b in range(nblk):
         stream = words[b][emit[b]]
@@ -133,10 +138,15 @@ def encode_blocks_list(
         for i, blk in enumerate(group):
             buf[i].reshape(-1)[: blk.size] = blk
             ns[i] = blk.size
-        states, emit, words = _encode_blocks_sharded(
+        states, emit_packed, words = _encode_blocks_sharded(
             p, mesh, jnp.asarray(buf), jnp.asarray(ns)
         )
-        states, emit, words = map(np.asarray, (states, emit, words))
+        states, emit_packed, words = map(
+            np.asarray, (states, emit_packed, words)
+        )
+        emit = np.unpackbits(
+            emit_packed, axis=-1, bitorder="little"
+        ).astype(bool)
         for i in range(len(group)):
             stream = words[i][emit[i]]
             out.append(
