@@ -90,6 +90,8 @@ class BlockParams:
     # per step on TPU (~the single largest encode cost, PERF.md).
     top_k: int = 4
     lazy_top_k: int = 4
+    probe: int = 32  # phase-1 candidate probe depth (bytes; the winner
+    # alone gets the full-window extension)
 
     def __post_init__(self):
         if self.lanes % 8 or self.lanes < 8:
@@ -474,14 +476,11 @@ def _prefix_len(cur_win, cand):
     return jnp.sum((incl == 0).astype(_i32), axis=-1)
 
 
-PROBE = 32  # phase-1 candidate probe depth (full window only for winner)
-
-
 def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_w32, cur_win,
                      x_keyed: bool = False, probe_only: bool = False,
                      ctx4_override=None):
     """Encoder-side candidate search at pos: score all bucket entries by
-    4-byte prefix cache, probe the top-K to PROBE bytes, fully extend only
+    4-byte prefix cache, probe the top-K to p.probe bytes, fully extend only
     the winner.  ``cur_win`` is the upcoming-bytes window (a contiguous
     slice — matches never cross the chunk end, so no gather is needed).
     ``x_keyed`` buckets by the upcoming 4 content bytes (LZ77 'X' mode)
@@ -515,8 +514,8 @@ def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_w32, cur_win,
         sl = top_slots[:, k]
         src_k = jnp.take_along_axis(cand_pos, sl[:, None], 1)[:, 0] - 1
         sc_k = jnp.take_along_axis(score, sl[:, None], 1)[:, 0]
-        cand = _gather_windows(inp_w32, src_k, PROBE)
-        len_k = _prefix_len(cur_win[:, :PROBE], cand)
+        cand = _gather_windows(inp_w32, src_k, p.probe)
+        len_k = _prefix_len(cur_win[:, : p.probe], cand)
         lens.append(jnp.where(sc_k == 4, len_k, 0))
         srcs.append(src_k)
         recs.append(jnp.take_along_axis(rec, sl[:, None], 1)[:, 0])
@@ -530,7 +529,7 @@ def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_w32, cur_win,
         wlen = p.window
         cand = _gather_windows(inp_w32, src, wlen)
         full = _prefix_len(cur_win[:, :wlen], cand)
-        length = jnp.where(length >= PROBE, full, length)
+        length = jnp.where(length >= p.probe, full, length)
     cap = jnp.minimum(
         jnp.minimum(p.steps - t, n - pos),
         min(p.window, p.min_len + ppm.LEN_W - 1),
@@ -648,7 +647,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, t):
         # lazy parsing (shape of rolzmain/cr-matcher.c:186-195): if the
         # next position promises a strictly better match, hold back one
         # literal instead of committing now.  Pure encoder policy.  The
-        # probe is PROBE-deep only: matches >= PROBE are never deferred.
+        # probe is p.probe-deep only: deep matches are never deferred.
         if p.lazy_top_k > 0:
             len_next, _, _, _ = _rolz_best_match(
                 c, pos + 1, t, n, p, inp_w32, cur_win[:, 1:],
