@@ -675,7 +675,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, t):
 
     # ---- A event
     tbs, rows2, rowmod, cums_a, tot_a, o2_hd = ppm.read_o2(
-        c["tables"], ctx2, pred, coding
+        c["tables"], ctx2, pred, coding, conf
     )
     f_byte = jnp.take_along_axis(rowmod, byte[:, None], axis=-1)[:, 0]
     sym_a = jnp.where(
@@ -850,7 +850,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
 
     # ---- A event
     tbs, rows2, rowmod, cums_a, tot_a, o2_hd = ppm.read_o2(
-        c["tables"], ctx2, pred, coding
+        c["tables"], ctx2, pred, coding, conf
     )
     slot = rans.dec_slot(x)
     tgt = rans.dec_target(slot, jnp.maximum(tot_a, 1))
@@ -1041,7 +1041,12 @@ def encode_block_stats(data: np.ndarray, p: BlockParams) -> dict:
     n = int(data.size)
     buf = np.zeros((p.lanes, p.steps), np.uint8)
     buf.reshape(-1)[:n] = data
-    _, emit, words, dbg = _encode_passes(p, jnp.asarray(buf), jnp.int32(n))
+    _, emit_packed, words, dbg = _encode_passes(
+        p, jnp.asarray(buf), jnp.int32(n)
+    )
+    emit = np.unpackbits(
+        np.asarray(emit_packed), axis=-1, bitorder="little"
+    )
     grids = [np.asarray(g) for g in dbg]
     ns = p.n_slots
     sym_a, mlen = grids[3 * ns], grids[3 * ns + 1]
@@ -1082,7 +1087,7 @@ def encode_block_stats(data: np.ndarray, p: BlockParams) -> dict:
         "bits_match_idx": float(bits_b[act_b & is_mat].sum()),
         "bits_match_len": float(bits_c[is_mat & act_c].sum()),
         "bits_match_extra": bits_extra,
-        "stream_words": int(np.asarray(emit).sum()),
+        "stream_words": int(emit.sum()),
     }
     total_bits = sum(v for k, v in stats.items() if k.startswith("bits_"))
     stats["model_bpb"] = total_bits / max(n, 1)

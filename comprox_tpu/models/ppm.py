@@ -103,7 +103,10 @@ def o3_read(t, h3):
     return packed & 0xFF, packed >> 8  # (pred, conf)
 
 
-def read_o2(t, ctx2, pred, coding):
+CONF_BOOST = _env("CONF_BOOST", 0)
+
+
+def read_o2(t, ctx2, pred, coding, conf=None):
     """Gather + rescale + exclude-predicted for the A event.
 
     Returns (tables, rows, rowmod, cums, tot, halve_delta).  ``rowmod`` has
@@ -112,6 +115,11 @@ def read_o2(t, ctx2, pred, coding):
     ``halve_delta`` carries the rescale as per-winner row deltas so the
     caller folds it into ONE fused scatter-add with the increments (TPU
     scatters serialize per index — one scatter per table per step).
+
+    With CONF_BOOST, a confident o3 predictor ceil-shifts every non-hit
+    slot down (read-time only, both sides identical), raising the coded
+    hit probability without touching table state; zero slots stay zero
+    and nonzero slots stay >= 1, so decodability is unchanged.
     """
     rows0 = t["o2"][ctx2]
     rows, did = tb.rescale_read(rows0, CAP2, _STICKY2)
@@ -121,6 +129,14 @@ def read_o2(t, ctx2, pred, coding):
     rows = rows.at[:, SYM_ESC].set(esc)
     slot_ids = jax.lax.broadcasted_iota(_i32, rows.shape, 1)
     rowmod = jnp.where(slot_ids == pred[:, None], 0, rows)
+    if CONF_BOOST and conf is not None:
+        shift = (
+            (conf >= 4).astype(_i32)
+            + (conf >= 8).astype(_i32)
+            + (conf >= 13).astype(_i32)
+        )[:, None]
+        boosted = (rowmod + (1 << shift) - 1) >> shift
+        rowmod = jnp.where(slot_ids == SYM_HIT, rowmod, boosted)
     cums = tb.exclusive_cumsum(rowmod)
     return t, rows, rowmod, cums, tb.row_total(rowmod), halve_delta
 
