@@ -76,8 +76,12 @@ def parse_args(argv):
 def make_params(codec_name: str, opts) -> ContainerParams:
     lanes = opts["lanes"]
     cap = int(opts["block_mb"] * 1048576)
-    steps = max(1, cap // lanes)
     mode = {"crz": "R", "crx": "X"}.get(codec_name, "P")
+    if mode == "X":
+        # distance code space caps 'X' blocks at 16 MiB (block.py); the
+        # reference likewise fixes cr_split_size at 16 MiB (src/main.c:62)
+        cap = min(cap, 1 << 24)
+    steps = max(1, cap // lanes)
     # ref match_min: lzp 4 (ropmain), rolz 5, lz77 ~10 (roxmain cr-coder.c:192)
     bp = BlockParams(
         lanes=lanes,

@@ -84,6 +84,11 @@ class BlockParams:
     rolz_ctx_bytes: int = 3  # context bytes keying a bucket (the reference
     # switches 3 -> 4 for blocks >= 4MiB: rolzmain/cr-matcher.c:38-42,
     # set at cr-coder.c:162).  Format-relevant: rides the container header
+    short_depth: int = 16  # ROLZ secondary short-match table: per previous-
+    # byte value, the D most recent positions, serving match sources as idx
+    # symbols rolz_depth..rolz_depth+D-1 when the main context bucket has
+    # no match (rolzmain/cr-matcher.c:165-179 m_short_table[256][16]).
+    # 0 disables.  Format-relevant: rides the container header.
     # encoder-only search policy (not format-relevant: the chosen index/
     # distance is coded) — candidates fully probed at pos and at pos+1
     # (lazy parse).  Each extra candidate costs one serialized row-gather
@@ -96,6 +101,36 @@ class BlockParams:
     def __post_init__(self):
         if self.lanes % 8 or self.lanes < 8:
             raise ValueError("lanes must be a positive multiple of 8")
+        if (
+            self.mode == "R"
+            and self.short_depth
+            and self.lanes * self.steps > (1 << 24)
+        ):
+            # the short table rides exact one-hot f32 matmuls (reads AND
+            # inserts); positions must stay <= 2^24 for f32 exactness
+            raise ValueError(
+                "ROLZ short-match table requires block capacity <= 16 MiB "
+                "(set short_depth=0 for larger blocks)"
+            )
+        if self.mode == "R" and self.short_depth not in (0, 8, 16):
+            raise ValueError("short_depth must be 0, 8 or 16")
+        if self.mode == "R":
+            from comprox_tpu.models.ppm import IDX_W
+
+            if self.rolz_depth + self.short_depth > IDX_W:
+                raise ValueError(
+                    f"rolz_depth + short_depth must be <= {IDX_W}"
+                )
+        if self.mode == "X" and self.lanes * self.steps > (1 << 24):
+            # distance code space: buckets 0..23 cover dist < 2^24 and the
+            # mantissa events carry at most 24 bits; a larger block would
+            # alias dist >= 2^24 onto SYM_DST_REPEAT and encode archives
+            # that cannot decode.  The reference fixes its split at 16 MiB
+            # (src/main.c:62), so this cap also matches its behavior.
+            raise ValueError(
+                "mode 'X' block capacity is capped at 16 MiB "
+                f"(got {self.lanes * self.steps})"
+            )
 
     @property
     def capacity(self) -> int:

@@ -15,16 +15,25 @@ Layout (all little-endian):
     flags    1B   bit0: dictionary present, bit1: filters enabled
     lanes    2B   u16  S
     steps    4B   u32  T   (block capacity = S*T bytes)
-    [dict blob: u32 len + payload]                 (if flags bit0)
+    ...per-geometry BlockParams fields, then:
+    knobs    4B   u32  CRC32 of the format-relevant model constants
+    hdrcrc   4B   u32  CRC32 of codec..knobs (a flipped geometry bit
+                       fails loudly instead of decoding garbage)
+    [dict blob: u32 len + u32 crc + payload]       (if flags bit0)
     repeat:
         raw_n    4B   u32  raw bytes in this block (0 terminates)
         blen     4B   u32  payload length
         bflags   1B   bit0: stored (raw bytes follow, uncoded)
                       bit1: filtered
                       bit2: dictionary-coded
+        crc      4B   u32  CRC32 of payload
         payload  blen bytes
     end:
-        raw_n=0 sentinel
+        raw_n=0 sentinel (full zero block header)
+
+Failure detection is strictly stronger than the reference's (SURVEY.md §5:
+magic check only): every byte of the archive is covered by a CRC or by the
+rANS drain invariant, so single-bit corruption anywhere raises ValueError.
 """
 
 from __future__ import annotations
@@ -52,35 +61,58 @@ class ContainerParams:
     block: BlockParams = BlockParams()
 
 
+_HDR_FMT = "<BHIBBBBBBI"  # flags + geometry + format-knobs fingerprint
+
+
 def write_header(f: BinaryIO, cp: ContainerParams, flags: int = 0) -> None:
+    from comprox_tpu.models.ppm import format_fingerprint
+
     b = cp.block
-    f.write(MAGIC)
-    f.write(cp.codec)
-    f.write(
-        struct.pack(
-            "<BHIBBBBBB",
-            flags,
-            b.lanes,
-            b.steps,
-            b.o3_bits,
-            b.min_len,
-            1 if b.match else 0,
-            b.rolz_bits,
-            b.rolz_depth,
-            b.rolz_ctx_bytes,
-        )
+    body = cp.codec + struct.pack(
+        _HDR_FMT,
+        flags,
+        b.lanes,
+        b.steps,
+        b.o3_bits,
+        b.min_len,
+        1 if b.match else 0,
+        b.rolz_bits,
+        b.rolz_depth,
+        b.rolz_ctx_bytes,
+        format_fingerprint(),
     )
+    # header CRC: a flipped geometry bit must fail loudly, not decode with
+    # wrong params into probabilistic drain-check garbage
+    f.write(MAGIC + body + struct.pack("<I", zlib.crc32(body) & 0xFFFFFFFF))
+
+
+HEADER_LEN = 8 + 1 + struct.calcsize(_HDR_FMT) + 4
+BLKHDR = "<IIBI"  # raw_n, payload len, flags, payload CRC32
+BLKHDR_LEN = struct.calcsize(BLKHDR)
 
 
 def read_header(f: BinaryIO) -> tuple[ContainerParams, int]:
+    from comprox_tpu.models.ppm import format_fingerprint
+
     magic = f.read(8)
     if magic != MAGIC:
         raise ValueError(f"bad magic {magic!r}: not a comprox_tpu archive")
-    codec = f.read(1)
+    body = f.read(1 + struct.calcsize(_HDR_FMT))
+    crc_raw = f.read(4)
+    if len(body) < 1 + struct.calcsize(_HDR_FMT) or len(crc_raw) < 4:
+        raise ValueError("truncated archive: short container header")
+    if struct.unpack("<I", crc_raw)[0] != zlib.crc32(body) & 0xFFFFFFFF:
+        raise ValueError("corrupt archive: container header CRC mismatch")
+    codec = body[:1]
     (
         flags, lanes, steps, o3_bits, min_len, match, rolz_bits,
-        rolz_depth, rolz_ctx_bytes,
-    ) = struct.unpack("<BHIBBBBBB", f.read(13))
+        rolz_depth, rolz_ctx_bytes, knobs_crc,
+    ) = struct.unpack(_HDR_FMT, body[1:])
+    if knobs_crc != format_fingerprint():
+        raise ValueError(
+            "archive was encoded with different model constants "
+            "(CPX_* env knobs); decode in a matching environment"
+        )
     bp = BlockParams(
         lanes=lanes,
         steps=steps,
@@ -128,7 +160,7 @@ def encode_stream(
     wd = dic.build_dictionary(src) if dictionary else None
     flags = (F_FILTER if filters else 0) | (F_DICT if wd else 0)
     write_header(dst, cp, flags=flags)
-    written = 22
+    written = HEADER_LEN
     if wd is not None:
         blob = dic.pack_dict(wd)
         # CRC over the blob: the dict rides uncoded (no rANS drain check
@@ -162,19 +194,18 @@ def encode_stream(
 
     # stage 2: device coding — sequential or mesh-grouped
     if precomp_only:
-        payloads = [blk.tobytes() for _, blk, _, _ in staged]
-        for i, (raw_blk, blk, prefix, bflags) in enumerate(staged):
+        for raw_blk, blk, prefix, bflags in staged:
+            body = prefix + blk.tobytes()
             dst.write(
                 struct.pack(
-                    "<IIB", raw_blk.size, len(prefix) + blk.size,
-                    bflags | BF_STORED,
+                    BLKHDR, raw_blk.size, len(body), bflags | BF_STORED,
+                    zlib.crc32(body) & 0xFFFFFFFF,
                 )
             )
-            dst.write(prefix)
-            dst.write(payloads[i])
-            written += 9 + len(prefix) + blk.size
-        dst.write(struct.pack("<IIB", 0, 0, 0))
-        return written + 9
+            dst.write(body)
+            written += BLKHDR_LEN + len(body)
+        dst.write(struct.pack(BLKHDR, 0, 0, 0, 0))
+        return written + BLKHDR_LEN
     if encode_fn is not None:
         payloads = [encode_fn(blk) for _, blk, _, _ in staged]
     elif mesh is not None:
@@ -193,14 +224,19 @@ def encode_stream(
         payload = prefix + coded
         if len(payload) >= raw_blk.size:  # stored fallback, raw unfiltered
             payload, bflags = raw_blk.tobytes(), BF_STORED
-        dst.write(struct.pack("<IIB", raw_blk.size, len(payload), bflags))
+        dst.write(
+            struct.pack(
+                BLKHDR, raw_blk.size, len(payload), bflags,
+                zlib.crc32(payload) & 0xFFFFFFFF,
+            )
+        )
         dst.write(payload)
-        written += 9 + len(payload)
+        written += BLKHDR_LEN + len(payload)
         done += raw_blk.size
         if progress:
             progress(done, total)
-    dst.write(struct.pack("<IIB", 0, 0, 0))
-    return written + 9
+    dst.write(struct.pack(BLKHDR, 0, 0, 0, 0))
+    return written + BLKHDR_LEN
 
 
 def decode_stream(
@@ -233,15 +269,22 @@ def decode_stream(
     )
     total = 0
     while True:
-        hdr = src.read(9)
-        if len(hdr) < 9:
+        hdr = src.read(BLKHDR_LEN)
+        if len(hdr) < BLKHDR_LEN:
             raise ValueError("truncated archive: missing block header")
-        raw_n, blen, bflags = struct.unpack("<IIB", hdr)
+        raw_n, blen, bflags, crc = struct.unpack(BLKHDR, hdr)
         if raw_n == 0:
             break
         payload = src.read(blen)
         if len(payload) < blen:
             raise ValueError("truncated archive: short block payload")
+        if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+            raise ValueError("corrupt archive: block payload CRC mismatch")
+        if bflags & BF_DICT and wd is None:
+            raise ValueError(
+                "corrupt archive: block flagged dictionary-coded but the "
+                "header carries no dictionary"
+            )
         spans = []
         if bflags & BF_FILTERED and not bflags & BF_STORED:
             from comprox_tpu.ops import filters as flt
@@ -259,15 +302,17 @@ def decode_stream(
         else:
             n_dec = raw_n
             if bflags & BF_DICT:
+                if len(payload) < 4:
+                    raise ValueError("corrupt block: missing dict-size prefix")
                 (n_dec,) = struct.unpack("<I", payload[:4])
                 payload = payload[4:]
             out = decode_fn(payload, n_dec)
             if bflags & BF_DICT:
                 out = dic.dict_decode(out, wd)
-                if out.size != raw_n:
-                    raise ValueError(
-                        f"dictionary expansion mismatch: {out.size} != {raw_n}"
-                    )
+        if out.size != raw_n:
+            raise ValueError(
+                f"corrupt block: decoded {out.size} bytes, header says {raw_n}"
+            )
         if spans:
             from comprox_tpu.ops import filters as flt
 
@@ -289,10 +334,10 @@ def _make_mesh_decode_fn(src, cp: ContainerParams, mesh):
     start = src.tell()
     jobs = []  # (payload_after_prefixes, n_decode)
     while True:
-        hdr = src.read(9)
-        if len(hdr) < 9:
+        hdr = src.read(BLKHDR_LEN)
+        if len(hdr) < BLKHDR_LEN:
             break
-        raw_n, blen, bflags = _st.unpack("<IIB", hdr)
+        raw_n, blen, bflags, _crc = _st.unpack(BLKHDR, hdr)
         if raw_n == 0:
             break
         payload = src.read(blen)
@@ -305,6 +350,8 @@ def _make_mesh_decode_fn(src, cp: ContainerParams, mesh):
             payload = payload[off:]
         n_dec = raw_n
         if bflags & BF_DICT:
+            if len(payload) < 4:
+                raise ValueError("corrupt block: missing dict-size prefix")
             (n_dec,) = _st.unpack("<I", payload[:4])
             payload = payload[4:]
         jobs.append((payload, n_dec))

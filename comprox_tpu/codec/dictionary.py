@@ -230,20 +230,33 @@ def pack_dict(d: WordDict) -> bytes:
 
 
 def unpack_dict(blob: bytes) -> WordDict:
+    """Parse a dictionary blob, validating structure so adversarial blobs
+    fail with ValueError instead of IndexError/KeyError downstream (the
+    container's fail-clean contract)."""
+    if len(blob) < 3:
+        raise ValueError("corrupt dictionary blob: too short")
     n_leads, n1 = struct.unpack("<BH", blob[:3])
     off = 3
+    if off + n_leads + n1 > len(blob):
+        raise ValueError("corrupt dictionary blob: truncated code tables")
     leads = list(blob[off : off + n_leads])
     off += n_leads
     one_codes = list(blob[off : off + n1])
     off += n1
 
     def read_words(off):
+        if off + 2 > len(blob):
+            raise ValueError("corrupt dictionary blob: truncated word count")
         (k,) = struct.unpack("<H", blob[off : off + 2])
         off += 2
         words, prev = [], b""
         for _ in range(k):
+            if off + 2 > len(blob):
+                raise ValueError("corrupt dictionary blob: truncated word")
             lcp, slen = blob[off], blob[off + 1]
             off += 2
+            if off + slen > len(blob) or lcp > len(prev):
+                raise ValueError("corrupt dictionary blob: bad front-coding")
             w = prev[:lcp] + blob[off : off + slen]
             off += slen
             words.append(w)
@@ -252,6 +265,14 @@ def unpack_dict(blob: bytes) -> WordDict:
 
     words1, off = read_words(off)
     words2, off = read_words(off)
+    if len(words1) != n1:
+        raise ValueError(
+            "corrupt dictionary blob: one-byte code/word count mismatch"
+        )
+    if len(set(leads)) != n_leads or set(leads) & set(one_codes):
+        raise ValueError("corrupt dictionary blob: overlapping code bytes")
     d = WordDict(one_codes, words1, leads, words2)
+    if len(words2) > len(d.two_codes()):
+        raise ValueError("corrupt dictionary blob: two-byte code overflow")
     d.build_maps()
     return d

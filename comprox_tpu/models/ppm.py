@@ -63,7 +63,8 @@ DST_INC = _env("DST_INC", 16)  # LZ77 distance-bucket model (~roxmain's
 DST_CAP = 24576  # chained pos_models, roxmain/cr-coder.c:242-258)
 DST_W = 32  # buckets 0..23 = bit_length(dist)-1, 24 = repeat-prev
 N_SHARED_CTX = 4  # context buckets for the len/idx shared models
-IDX_W = 64
+IDX_W = 80  # 64 main recency ranks + 16 short-table ranks (rolzmain
+# cr-matcher.c: M_rolz_indices + M_rolz_indices_short)
 O2_NCTX = 1 << 16
 O1_NCTX = 256
 O3_SIZE = 1 << 22
@@ -104,6 +105,22 @@ def o3_read(t, h3):
 
 
 CONF_BOOST = _env("CONF_BOOST", 0)
+
+
+def format_fingerprint() -> int:
+    """CRC32 of every format-relevant model constant (the CPX_* knobs plus
+    the fixed caps/widths).  These constants change table arithmetic and
+    therefore the stream format; the container header carries this value so
+    an archive encoded under non-default knobs fails with a clear error in
+    a default-env process instead of a drain-check 'corrupt block'."""
+    import zlib
+
+    knobs = (
+        INC2, CAP2, INC1, CAP1, LEN_INC, LEN_CAP, IDX_INC, IDX_CAP,
+        DST_INC, DST_CAP, DST_W, N_SHARED_CTX, IDX_W, LEN_W, O2_W,
+        CONF_BOOST,
+    )
+    return zlib.crc32(repr(knobs).encode()) & 0xFFFFFFFF
 
 
 def read_o2(t, ctx2, pred, coding, conf=None):

@@ -227,7 +227,11 @@ def pack_spans(spans: List[FilterSpan]) -> bytes:
 
 
 def unpack_spans(blob: bytes) -> tuple[List[FilterSpan], int]:
+    if not blob:
+        raise ValueError("corrupt block: empty filter-span prefix")
     n = blob[0]
+    if 1 + n * SPAN_BYTES > len(blob):
+        raise ValueError("corrupt block: truncated filter-span list")
     spans = []
     off = 1
     for _ in range(n):

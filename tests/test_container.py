@@ -54,9 +54,12 @@ def test_incompressible_stored_fallback():
     cp = params_for(b"R")
     rng = np.random.default_rng(2)
     data = rng.integers(0, 256, cp.block.capacity * 2, dtype=np.uint8)
+    from comprox_tpu.codec.container import BLKHDR_LEN, HEADER_LEN
+
     buf = io.BytesIO()
     csize = encode_stream(data, buf, cp, dictionary=True)
-    assert csize < data.size + 64  # stored fallback bounds expansion
+    # stored fallback bounds expansion to fixed per-block framing overhead
+    assert csize <= data.size + HEADER_LEN + 3 * BLKHDR_LEN
     buf.seek(0)
     out = io.BytesIO()
     decode_stream(buf, out)
@@ -75,6 +78,66 @@ def test_precomp_only_roundtrip():
     decode_stream(buf, out)
     assert out.getvalue() == data.tobytes()
     assert csize < data.size  # substitution alone must shrink wordy text
+
+
+def test_x_mode_capacity_cap():
+    """Mode 'X' blocks above 16 MiB would alias dist >= 2^24 onto the
+    repeat-distance symbol and encode undecodable archives (ADVICE r1)."""
+    with pytest.raises(ValueError, match="16 MiB"):
+        BlockParams(lanes=1024, steps=(1 << 24) // 1024 + 1, mode="X")
+    BlockParams(lanes=1024, steps=(1 << 24) // 1024, mode="X")  # at cap: ok
+
+    from comprox_tpu.cli.main import make_params
+
+    cp = make_params("crx", {"block_mb": 64, "lanes": 256, "window": 250})
+    assert cp.block.capacity <= 1 << 24  # CLI clamps oversized -b for crx
+
+
+def test_knob_fingerprint_guard(monkeypatch):
+    """Archives are self-describing about CPX_* model constants: decoding
+    under different knobs fails with a clear error (ADVICE r1)."""
+    from comprox_tpu.models import ppm
+
+    cp = params_for(b"P")
+    data = np.frombuffer(b"knob guard test data " * 40, np.uint8).copy()
+    buf = io.BytesIO()
+    encode_stream(data, buf, cp, dictionary=False)
+    buf.seek(0)
+    monkeypatch.setattr(ppm, "INC2", ppm.INC2 + 1)
+    with pytest.raises(ValueError, match="model constants"):
+        read_header(buf)
+
+
+def test_archive_bitflip_fuzz():
+    """Flip single bits across every field class of a real archive (header,
+    dict blob, block headers, coded payload, stored block): decode must
+    raise ValueError — never crash, hang, or return silently wrong bytes.
+    Owns the corruption probe that found the historical dict-CRC bug."""
+    cp = params_for(b"R")
+    rng = np.random.default_rng(7)
+    text = b"the words of this corpus repeat the words of this corpus. "
+    data = np.frombuffer(text * 40, np.uint8).copy()
+    # second block is incompressible -> stored fallback path in the same file
+    data = np.concatenate(
+        [data, rng.integers(0, 256, cp.block.capacity, dtype=np.uint8)]
+    )
+    buf = io.BytesIO()
+    encode_stream(data, buf, cp, dictionary=True)
+    archive = bytearray(buf.getvalue())
+    positions = set(
+        int(i) for i in rng.integers(0, len(archive), 24)
+    ) | {0, 9, 12, 30, len(archive) - 1}  # magic, codec, geometry, tail
+    for pos in sorted(positions):
+        mut = bytearray(archive)
+        mut[pos] ^= 1 << int(rng.integers(0, 8))
+        out = io.BytesIO()
+        try:
+            decode_stream(io.BytesIO(bytes(mut)), out)
+        except ValueError:
+            continue  # clean rejection: the expected path
+        assert out.getvalue() == data.tobytes(), (
+            f"silent corruption from bit flip at offset {pos}"
+        )
 
 
 @pytest.mark.parametrize("codec", [b"P", b"R", b"X"])
