@@ -92,6 +92,13 @@ def make_params(codec_name: str, opts) -> ContainerParams:
         # 4-byte ROLZ contexts for large blocks (reference rule: rolzmain/
         # cr-matcher.c:38-42; measured -2.5% bpb on 8MiB doc text)
         rolz_ctx_bytes=4 if (mode == "R" and cap >= 4 * 1048576) else 3,
+        # ROLZ short-match table: measured ratio-NEGATIVE on 8MiB doc text
+        # (0.4435-0.4440 vs 0.4428 without, at CPX_SHORT_EXTRA 2 and 5) and
+        # ~35% slower — the reference's win (rolzmain/cr-matcher.c:165-179)
+        # does not transfer to shared-model lanes, where short-idx symbols
+        # price high and steal o2/o3 training bytes.  Capability kept
+        # (format + tests), default off.
+        short_depth=0,
     )
     return ContainerParams(codec=CODEC_BYTE.get(codec_name, b"P"), block=bp)
 

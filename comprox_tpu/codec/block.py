@@ -84,11 +84,12 @@ class BlockParams:
     rolz_ctx_bytes: int = 3  # context bytes keying a bucket (the reference
     # switches 3 -> 4 for blocks >= 4MiB: rolzmain/cr-matcher.c:38-42,
     # set at cr-coder.c:162).  Format-relevant: rides the container header
-    short_depth: int = 16  # ROLZ secondary short-match table: per previous-
+    short_depth: int = 0  # ROLZ secondary short-match table: per previous-
     # byte value, the D most recent positions, serving match sources as idx
     # symbols rolz_depth..rolz_depth+D-1 when the main context bucket has
     # no match (rolzmain/cr-matcher.c:165-179 m_short_table[256][16]).
-    # 0 disables.  Format-relevant: rides the container header.
+    # 0 disables (the default: measured ratio-negative on doc text, see
+    # PERF.md).  Format-relevant: rides the container header.
     # encoder-only search policy (not format-relevant: the chosen index/
     # distance is coded) — candidates fully probed at pos and at pos+1
     # (lazy parse).  Each extra candidate costs one serialized row-gather
@@ -207,6 +208,10 @@ def _dist_bucket(dist):
 SYM_DST_REPEAT = 24  # distance == previous distance (roxmain codes this
 # as raw distance 0, cr-coder.c:232-235)
 
+import os as _os
+
+_SHORT_EXTRA = int(_os.environ.get("CPX_SHORT_EXTRA", "2"))
+
 
 def _lane_ids(s):
     return jax.lax.broadcasted_iota(_i32, (s, 1), 0).reshape(s)
@@ -243,6 +248,8 @@ def _init_carry(p: BlockParams, enc_side: bool):
         # ops per step (each ~0.28us/index serialized, PERF.md).
         nb = 1 << p.rolz_bits
         c["rolz_ent"] = jnp.zeros((nb, p.rolz_depth, 2), _i32)
+        if p.mode == "R" and p.short_depth:
+            c["rolz_s"] = jnp.zeros((256, 3 * p.short_depth), _i32)
     elif p.mode == "P":
         c["lzp2"] = jnp.zeros((1 << 16,), _i32)
         c["lzp4"] = jnp.zeros((LZP4_SIZE,), _i32)
@@ -347,10 +354,83 @@ def _rolz_src_of_rows(ent_rows, rec_idx):
     bucket rows (one gather serves fill-context and source lookup).  The
     slot is the one whose descending-position rank equals the index — no
     write-pointer state, no extra gather."""
-    cand_pos = ent_rows[..., 0]
+    return _src_of_pos_rows(ent_rows[..., 0], rec_idx)
+
+
+def _src_of_pos_rows(cand_pos, rec_idx):
     rec = _recency_ranks(cand_pos)
     sel = rec == rec_idx[:, None]
     return jnp.sum(jnp.where(sel, cand_pos, 0), axis=1) - 1
+
+
+# --------------------------------------------------------------------------
+# ROLZ secondary short-match table (rolzmain/cr-matcher.c:165-179
+# m_short_table[256][16]): per previous-byte value, the D most recent
+# positions, serving match sources as idx symbols rolz_depth..+D-1 when the
+# main context bucket has no match.  TPU-native twist: with only 256
+# contexts the table reads AND inserts are exact one-hot f32 matmuls on the
+# MXU — no random-access ops at all.  Layout [256, 3D] int32: columns
+# [0:D) = pos+1 (0 = empty), [D:2D) = prefix4 low 16 bits, [2D:3D) = high
+# 16 bits — every value < 2^24 so HIGHEST-precision f32 dots are exact
+# (models/tables.py), and per output element at most ONE lane contributes
+# (colliding lanes take distinct slots), so accumulation is exact too.
+# --------------------------------------------------------------------------
+
+
+def _exact_onehot_matmul(oh_bool, tab):
+    return jnp.dot(
+        oh_bool.astype(jnp.float32),
+        tab.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).astype(_i32)
+
+
+def _short_read(tab, d: int, key):
+    """All lanes' short-table rows: ([S, D] pos, [S, D] prefix4)."""
+    oh = (
+        jax.lax.broadcasted_iota(_i32, (key.shape[0], 256), 1)
+        == key[:, None]
+    )
+    rows = _exact_onehot_matmul(oh, tab)
+    cand_pos = rows[:, :d]
+    cand_nx4 = (
+        rows[:, d : 2 * d].astype(_u32)
+        | (rows[:, 2 * d :].astype(_u32) << 16)
+    )
+    return cand_pos, cand_nx4
+
+
+def _short_insert(tab, d: int, key, ins, pos, nx4):
+    """Replace each row's oldest entry with (q+1, prefix) for q = pos-3,
+    keyed by the byte at q-1 — the dense-matmul analogue of _bucket_insert
+    (same min-position-replace rule, same lane-order collision ranks)."""
+    s = key.shape[0]
+    same = (key[:, None] == key[None, :]) & ins[None, :]
+    lower = jnp.tril(jnp.ones((s, s), bool), k=-1)
+    rank = jnp.sum(same & lower, axis=1)
+    ins = ins & (rank < d)
+    oh = (
+        jax.lax.broadcasted_iota(_i32, (s, 256), 1) == key[:, None]
+    ) & ins[:, None]
+    old = _exact_onehot_matmul(oh, tab)  # [S, 3D]; zero rows where ~ins
+    old_pos = old[:, :d]
+    age = (d - 1) - _recency_ranks(old_pos)  # oldest = 0
+    slot_ids = jax.lax.broadcasted_iota(_i32, (s, d), 1)
+    slot = jnp.sum(jnp.where(age == rank[:, None], slot_ids, 0), axis=1)
+    hit = (slot_ids == slot[:, None]) & ins[:, None]  # [S, D]
+    q1 = pos - 3 + 1
+    lo = (nx4 & 0xFFFF).astype(_i32)
+    hi = (nx4 >> 16).astype(_i32)
+    delta = jnp.concatenate(
+        [
+            jnp.where(hit, q1[:, None] - old_pos, 0),
+            jnp.where(hit, lo[:, None] - old[:, d : 2 * d], 0),
+            jnp.where(hit, hi[:, None] - old[:, 2 * d :], 0),
+        ],
+        axis=1,
+    )
+    return tab + _exact_onehot_matmul(oh.T, delta)
 
 
 # --------------------------------------------------------------------------
@@ -444,6 +524,15 @@ def _post_step(c, t, n, p: BlockParams, pos, active, byte, is_match, src,
         # key bytes precede entry position q = pos-3: [q-k, q)
         rctx = rolz_hash3(_rolz_key(ctx4bn, p), p.rolz_bits)
         c = _bucket_insert(c, p, rctx, ins, pos, _byteswap32(ctx4n))
+        if p.short_depth:
+            # short table keyed by the single byte at q-1 (= pos-4, the
+            # low byte of the updated ctx4b register); every position
+            # inserts, mirroring rolzmain/cr-matcher.c:76-79
+            c["rolz_s"] = _short_insert(
+                c["rolz_s"], p.short_depth,
+                (ctx4bn & 0xFF).astype(_i32), active & (t >= 4), pos,
+                _byteswap32(ctx4n),
+            )
     elif p.mode == "P":
         # LZP: map context-for-position pos+1 -> pos+1 (stored +1;
         # scatter-max so the newest position wins collisions)
@@ -574,6 +663,57 @@ def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_w32, cur_win,
         cand = _gather_windows(inp_w32, src, wlen)
         full = _prefix_len(cur_win[:, :wlen], cand)
         length = jnp.where(length >= p.probe, full, length)
+    if p.short_depth and not x_keyed and not probe_only:
+        # secondary short-match fallback: when the 3/4-byte-context bucket
+        # offers no match, the per-previous-byte table may (rolzmain/
+        # cr-matcher.c:163-179); its rank codes as idx rolz_depth..+D-1
+        ctx4q = c["ctx4"] if ctx4_override is None else ctx4_override
+        s_pos, s_nx4 = _short_read(
+            c["rolz_s"], p.short_depth, (ctx4q & 0xFF).astype(_i32)
+        )
+        sdiff = s_nx4 ^ own_nx4[:, None]
+        sscore = (
+            ((sdiff & 0xFF) == 0).astype(_i32)
+            + ((sdiff & 0xFFFF) == 0).astype(_i32)
+            + ((sdiff & 0xFFFFFF) == 0).astype(_i32)
+            + (sdiff == 0).astype(_i32)
+        )
+        srec = _recency_ranks(s_pos)
+        sscore = jnp.where(s_pos > 0, sscore, -1)
+        _, stop = jax.lax.top_k(
+            sscore * p.short_depth + (p.short_depth - 1 - srec), 2
+        )
+        lens_s, srcs_s, recs_s = [], [], []
+        for k in range(2):
+            sl = stop[:, k]
+            src_k = jnp.take_along_axis(s_pos, sl[:, None], 1)[:, 0] - 1
+            sc_k = jnp.take_along_axis(sscore, sl[:, None], 1)[:, 0]
+            cand = _gather_windows(inp_w32, src_k, p.probe)
+            len_k = _prefix_len(cur_win[:, : p.probe], cand)
+            lens_s.append(jnp.where(sc_k == 4, len_k, 0))
+            srcs_s.append(src_k)
+            recs_s.append(jnp.take_along_axis(srec, sl[:, None], 1)[:, 0])
+        lens_m = jnp.stack(lens_s, 1)
+        pick_s = jnp.argmax(lens_m, axis=1)
+        s_len = jnp.take_along_axis(lens_m, pick_s[:, None], 1)[:, 0]
+        s_src = jnp.take_along_axis(
+            jnp.stack(srcs_s, 1), pick_s[:, None], 1
+        )[:, 0]
+        s_rec = jnp.take_along_axis(
+            jnp.stack(recs_s, 1), pick_s[:, None], 1
+        )[:, 0]
+        cand = _gather_windows(inp_w32, s_src, p.window)
+        s_full = _prefix_len(cur_win[:, : p.window], cand)
+        s_len = jnp.where(s_len >= p.probe, s_full, s_len)
+        # acceptance threshold above min_len (encoder policy, sweepable):
+        # short-idx symbols are rarer and price higher than main ranks, so
+        # a bare min_len short match does not pay for itself
+        use_short = (length < p.min_len) & (
+            s_len >= p.min_len + _SHORT_EXTRA
+        )
+        length = jnp.where(use_short, s_len, length)
+        src = jnp.where(use_short, s_src, src)
+        sym_idx = jnp.where(use_short, p.rolz_depth + s_rec, sym_idx)
     cap = jnp.minimum(
         jnp.minimum(p.steps - t, n - pos),
         min(p.window, p.min_len + ppm.LEN_W - 1),
@@ -1004,6 +1144,12 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     # ---- resolve the byte
     if p.mode == "R":
         src = _rolz_src_of_rows(rolz_rows, sym_idx)
+        if p.short_depth:
+            # idx symbols >= rolz_depth name short-table ranks; the read is
+            # an exact one-hot matmul, not a random-access op
+            s_pos, _ = _short_read(c["rolz_s"], p.short_depth, p1)
+            src_short = _src_of_pos_rows(s_pos, sym_idx - p.rolz_depth)
+            src = jnp.where(sym_idx >= p.rolz_depth, src_short, src)
     elif p.mode == "X":
         src = pos - dist
     else:

@@ -61,7 +61,7 @@ class ContainerParams:
     block: BlockParams = BlockParams()
 
 
-_HDR_FMT = "<BHIBBBBBBI"  # flags + geometry + format-knobs fingerprint
+_HDR_FMT = "<BHIBBBBBBBI"  # flags + geometry + format-knobs fingerprint
 
 
 def write_header(f: BinaryIO, cp: ContainerParams, flags: int = 0) -> None:
@@ -79,6 +79,7 @@ def write_header(f: BinaryIO, cp: ContainerParams, flags: int = 0) -> None:
         b.rolz_bits,
         b.rolz_depth,
         b.rolz_ctx_bytes,
+        b.short_depth,
         format_fingerprint(),
     )
     # header CRC: a flipped geometry bit must fail loudly, not decode with
@@ -106,7 +107,7 @@ def read_header(f: BinaryIO) -> tuple[ContainerParams, int]:
     codec = body[:1]
     (
         flags, lanes, steps, o3_bits, min_len, match, rolz_bits,
-        rolz_depth, rolz_ctx_bytes, knobs_crc,
+        rolz_depth, rolz_ctx_bytes, short_depth, knobs_crc,
     ) = struct.unpack(_HDR_FMT, body[1:])
     if knobs_crc != format_fingerprint():
         raise ValueError(
@@ -123,6 +124,7 @@ def read_header(f: BinaryIO) -> tuple[ContainerParams, int]:
         rolz_bits=rolz_bits,
         rolz_depth=rolz_depth,
         rolz_ctx_bytes=rolz_ctx_bytes,
+        short_depth=short_depth,
     )
     return ContainerParams(codec=codec, block=bp), flags
 

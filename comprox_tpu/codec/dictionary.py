@@ -50,6 +50,7 @@ MIN_COUNT = 6  # reference keeps words with count > 5 (cr-dicpick.c:219)
 N_LEADS = int(_os.environ.get("CPX_DICT_LEADS", "4"))
 _W2_ENV = _os.environ.get("CPX_DICT_W2")
 _SPACE_ENV = _os.environ.get("CPX_DICT_SPACE")
+_CAP_ENV = _os.environ.get("CPX_DICT_CAP", "1")
 
 
 @dataclass
@@ -59,17 +60,24 @@ class WordDict:
     leads: List[int]  # lead byte values (first carries the escapes)
     words2: List[bytes]  # words for 2-byte codes
     space: bool = False  # encode-side tokenizer choice (not serialized)
+    cap_byte: int = -1  # capitalization mark (-1 = disabled): CAP + code
+    # decodes as the word with its first letter uppercased — one dictionary
+    # entry serves both "the" and "The" (the reference's case-inversion
+    # escape variants, cr-diccode.c:160-171,313-335)
     enc_map: Dict[bytes, bytes] = field(default_factory=dict, repr=False)
+
+    def _n_esc(self) -> int:
+        return len(self.leads) + (1 if self.cap_byte >= 0 else 0)
 
     def _cbs(self) -> List[int]:
         """Code-byte values: everything except lead values; the first
-        len(leads) values from the top (255, 254, ...) are reserved on
-        lead_0 for lead-literal escapes."""
+        _n_esc() values from the top (255, 254, ...) are reserved on
+        lead_0 for lead/cap-literal escapes."""
         return [cb for cb in range(256) if cb not in set(self.leads)]
 
     def two_codes(self) -> List[Tuple[int, int]]:
         cbs = self._cbs()
-        esc_reserved = set(range(256 - len(self.leads), 256))
+        esc_reserved = set(range(256 - self._n_esc(), 256))
         codes = []
         for li, lead in enumerate(self.leads):
             for cb in cbs:
@@ -79,6 +87,8 @@ class WordDict:
         return codes
 
     def esc_code(self, j: int) -> Tuple[int, int]:
+        """Escape for a literal occurrence of lead j (or, at j ==
+        len(leads), of the cap mark)."""
         return (self.leads[0], 255 - j)
 
     def build_maps(self) -> None:
@@ -87,6 +97,19 @@ class WordDict:
             self.enc_map[w] = bytes([b])
         for (lead, cb), w in zip(self.two_codes(), self.words2):
             self.enc_map[w] = bytes([lead, cb])
+
+
+def fold_token(w: bytes) -> Optional[bytes]:
+    """Lowercased form of a capitalized token ("The " -> "the "), or None
+    when the token is not a fold candidate (already lowercase, ALLCAPS,
+    CamelCase...).  Decode inverts by uppercasing the first letter, so a
+    candidate must be exactly first-upper + rest-lower."""
+    if not (65 <= w[0] <= 90):
+        return None
+    rest = w[1:].rstrip(b" ")
+    if rest and not rest.islower():
+        return None
+    return bytes([w[0] + 32]) + w[1:]
 
 
 def build_dictionary(data: np.ndarray, max_words2: Optional[int] = None
@@ -98,23 +121,40 @@ def build_dictionary(data: np.ndarray, max_words2: Optional[int] = None
         return None
     big = len(raw) >= BIG_INPUT
     space = big if _SPACE_ENV is None else _SPACE_ENV == "1"
+    use_cap = _CAP_ENV != "0"
     word_re = _RE_SPACE if space else _RE_PLAIN
     hist = np.bincount(data, minlength=256)
-    unused = [int(b) for b in np.flatnonzero(hist == 0)]
-    cnt = Counter(word_re.findall(raw))
+    if use_cap:
+        # case folding: "The" counts toward "the" (the reference's case-
+        # inversion escape, cr-diccode.c:313-335); coded as CAP + code
+        cnt: Counter = Counter()
+        for w in word_re.findall(raw):
+            cnt[fold_token(w) or w] += 1
+    else:
+        cnt = Counter(word_re.findall(raw))
     cand = [(w, c) for w, c in cnt.items() if c >= MIN_COUNT]
     if not cand:
         return None
     # rare leads for 2-byte codes: cheapest nonzero bytes not already free
     order = np.argsort(hist + (hist == 0) * (1 << 30))
     leads = [int(b) for b in order[:N_LEADS]]
+    cap_byte = int(order[N_LEADS]) if use_cap else -1
     lead_cost = int(hist[leads].sum())  # each literal escape costs +1B
+    if use_cap:
+        lead_cost += int(hist[cap_byte])
+    # 1-byte codes come from zero-occurrence bytes, EXCLUDING any that the
+    # lead/cap selection grabbed (possible when the input has fewer than
+    # N_LEADS+1 distinct byte values) — overlap would make decode ambiguous
+    taken = set(leads) | {cap_byte}
+    unused = [
+        int(b) for b in np.flatnonzero(hist == 0) if int(b) not in taken
+    ]
     by_savings1 = sorted(cand, key=lambda kv: -kv[1] * (len(kv[0]) - 1))
     words1 = [w for w, c in by_savings1[: len(unused)]]
     rest = [(w, c) for w, c in by_savings1[len(unused):] if len(w) >= 3]
     by_savings2 = sorted(rest, key=lambda kv: -kv[1] * (len(kv[0]) - 2))
     d = WordDict(one_codes=unused[: len(words1)], words1=words1,
-                 leads=leads, words2=[], space=space)
+                 leads=leads, words2=[], space=space, cap_byte=cap_byte)
     if max_words2 is None:
         if _W2_ENV is not None:
             max_words2 = int(_W2_ENV) if int(_W2_ENV) >= 0 else None
@@ -134,11 +174,14 @@ def build_dictionary(data: np.ndarray, max_words2: Optional[int] = None
 
 
 def dict_encode(data: np.ndarray, d: WordDict) -> np.ndarray:
-    """Substitute words; escape literal lead bytes.  Per-block pass #2."""
+    """Substitute words; escape literal lead/cap bytes.  Per-block pass #2."""
     raw = data.tobytes()
     esc = {
         lead: bytes(d.esc_code(j)) for j, lead in enumerate(d.leads)
     }
+    if d.cap_byte >= 0:
+        esc[d.cap_byte] = bytes(d.esc_code(len(d.leads)))
+    cap = bytes([d.cap_byte]) if d.cap_byte >= 0 else None
     out = []
     pos = 0
     enc_map = d.enc_map
@@ -147,9 +190,15 @@ def dict_encode(data: np.ndarray, d: WordDict) -> np.ndarray:
         start = m.start()
         if start > pos:
             out.append(_escape(raw[pos:start], esc))
-        code = enc_map.get(m.group(0))
+        w = m.group(0)
+        code = enc_map.get(w)
+        if code is None and cap is not None:
+            folded = fold_token(w)
+            fcode = enc_map.get(folded) if folded is not None else None
+            if fcode is not None:
+                code = cap + fcode
         # unsubstituted words may still contain a lead-valued letter byte
-        out.append(code if code is not None else _escape(m.group(0), esc))
+        out.append(code if code is not None else _escape(w, esc))
         pos = m.end()
     out.append(_escape(raw[pos:], esc))
     return np.frombuffer(b"".join(out), np.uint8).copy()
@@ -161,8 +210,14 @@ def _escape(seg: bytes, esc: Dict[int, bytes]) -> bytes:
     return b"".join(esc.get(b, bytes([b])) for b in seg)
 
 
+def _cap_first(w: bytes) -> bytes:
+    if w and 97 <= w[0] <= 122:
+        return bytes([w[0] - 32]) + w[1:]
+    return w
+
+
 def dict_decode(data: np.ndarray, d: WordDict) -> np.ndarray:
-    """Expansion: every lead byte starts a real 2-byte code by construction
+    """Expansion: every lead/cap byte starts a real code by construction
     (cb values never collide with leads), so no sequential re-scan is
     needed — a hybrid loop over code occurrences with bulk copies between
     them."""
@@ -177,27 +232,39 @@ def dict_decode(data: np.ndarray, d: WordDict) -> np.ndarray:
     }
     for j, lead in enumerate(d.leads):
         two_words[d.esc_code(j)] = bytes([lead])
+    if d.cap_byte >= 0:
+        two_words[d.esc_code(len(d.leads))] = bytes([d.cap_byte])
     out: List[bytes] = []
     raw = data.tobytes()
-    lead_arr = np.array(d.leads, np.uint8)
-    hits = np.flatnonzero(
-        np.isin(data, lead_arr)
-        | np.isin(data, np.array(d.one_codes, np.uint8))
-    )
+    lead_set = set(d.leads)
+    scan = list(d.leads) + list(d.one_codes)
+    if d.cap_byte >= 0:
+        scan.append(d.cap_byte)
+    hits = np.flatnonzero(np.isin(data, np.array(scan, np.uint8)))
     prev = 0
     for i in hits:
         i = int(i)
         if i < prev:
-            continue  # was a cb consumed by a preceding lead
+            continue  # was a cb consumed by a preceding lead/cap
         out.append(raw[prev:i])
         b = int(data[i])
-        if b in d.leads:
+        capped = d.cap_byte >= 0 and b == d.cap_byte
+        if capped:
+            i += 1
+            b = int(data[i]) if i < n else -1
+        if b in lead_set:
             cb = int(data[i + 1]) if i + 1 < n else 0
-            out.append(two_words.get((b, cb), b""))
+            w = two_words.get((b, cb), b"")
             prev = i + 2
-        else:
-            out.append(one_map[b])
+        elif b in one_map:
+            w = one_map[b]
             prev = i + 1
+        else:  # cap mark at end of block / before a non-code byte
+            # (unreachable from our encoder — cap literals are escaped —
+            # but fail soft: drop only the mark, keep the following byte)
+            w = b""
+            prev = i
+        out.append(_cap_first(w) if capped else w)
     out.append(raw[prev:])
     return np.frombuffer(b"".join(out), np.uint8).copy()
 
@@ -219,7 +286,11 @@ def pack_dict(d: WordDict) -> bytes:
             prev = w
         return b"".join(out)
 
-    head = struct.pack("<BH", len(d.leads), len(d.one_codes))
+    # cap_byte rides the blob as value+1 (0 = disabled) — forgetting a
+    # format-relevant field here silently corrupts decode (same bug class
+    # as the container-header omission, see test_container.py)
+    head = struct.pack("<BHH", len(d.leads), len(d.one_codes),
+                       d.cap_byte + 1)
     return (
         head
         + bytes(d.leads)
@@ -233,10 +304,12 @@ def unpack_dict(blob: bytes) -> WordDict:
     """Parse a dictionary blob, validating structure so adversarial blobs
     fail with ValueError instead of IndexError/KeyError downstream (the
     container's fail-clean contract)."""
-    if len(blob) < 3:
+    if len(blob) < 5:
         raise ValueError("corrupt dictionary blob: too short")
-    n_leads, n1 = struct.unpack("<BH", blob[:3])
-    off = 3
+    n_leads, n1, cap1 = struct.unpack("<BHH", blob[:5])
+    if cap1 > 256:
+        raise ValueError("corrupt dictionary blob: bad cap byte")
+    off = 5
     if off + n_leads + n1 > len(blob):
         raise ValueError("corrupt dictionary blob: truncated code tables")
     leads = list(blob[off : off + n_leads])
@@ -269,9 +342,12 @@ def unpack_dict(blob: bytes) -> WordDict:
         raise ValueError(
             "corrupt dictionary blob: one-byte code/word count mismatch"
         )
+    cap_byte = cap1 - 1
     if len(set(leads)) != n_leads or set(leads) & set(one_codes):
         raise ValueError("corrupt dictionary blob: overlapping code bytes")
-    d = WordDict(one_codes, words1, leads, words2)
+    if cap_byte >= 0 and cap_byte in set(leads) | set(one_codes):
+        raise ValueError("corrupt dictionary blob: cap byte collides")
+    d = WordDict(one_codes, words1, leads, words2, cap_byte=cap_byte)
     if len(words2) > len(d.two_codes()):
         raise ValueError("corrupt dictionary blob: two-byte code overflow")
     d.build_maps()

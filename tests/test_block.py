@@ -104,3 +104,14 @@ def test_roundtrip_rolz_ctx4(name):
                     o3_bits=14, rolz_bits=10, rolz_depth=16,
                     rolz_ctx_bytes=4)
     roundtrip(corpus(name, p.capacity, seed=5), p)
+
+
+@pytest.mark.parametrize("name", ["text", "period7", "lowentropy"])
+def test_roundtrip_short_table(name):
+    """ROLZ secondary short-match table (rolzmain/cr-matcher.c:165-179):
+    idx symbols rolz_depth..+D-1 name short-table ranks; decode resolves
+    them via the exact one-hot-matmul table replay.  Off by default
+    (ratio-negative on doc text, PERF.md) but the format supports it."""
+    p = BlockParams(lanes=8, steps=128, mode="R", min_len=5, window=32,
+                    o3_bits=14, rolz_bits=10, rolz_depth=16, short_depth=16)
+    roundtrip(corpus(name, p.capacity, seed=6), p)
