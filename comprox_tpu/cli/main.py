@@ -37,9 +37,11 @@ switches:
   -p     dictionary precompress only
   -q     quiet mode
   -j[n]  code blocks data-parallel over n (default: all) devices
-  -m<n>  match search window cap (ref -m match depth; default 250)
-         (the reference's -f flexible parsing is always on: the encoder
-          extends top-K candidates and lazy-parses by default)
+  -m<n>  match search depth (ref -m match_limit; default 40 -> top-4
+         bucket candidates probed per position)
+  -f     flexible parsing: price-DP parse choosing literal vs any match
+         truncation (ref roxmain -f; ON by default here — the DP is a
+         cheap backward scan).  -f0 falls back to greedy+lazy parsing.
 """
 
 CODEC_BYTE = {"crp": b"P", "crx": b"X", "crz": b"R"}
@@ -50,7 +52,8 @@ def parse_args(argv):
     args = [a for a in argv[1:] if a == "-" or not a.startswith("-")]
     switches = [a for a in argv[1:] if a != "-" and a.startswith("-")]
     opts = {"block_mb": 16, "lanes": 256, "filters": False, "quiet": False,
-            "precomp": False, "jobs": 0, "window": 250}
+            "precomp": False, "jobs": 0, "window": 250, "depth": 40,
+            "flexible": True}
     for s in switches:
         if s.startswith("-b"):
             opts["block_mb"] = float(s[2:])
@@ -64,8 +67,12 @@ def parse_args(argv):
             opts["quiet"] = True
         elif s.startswith("-j"):
             opts["jobs"] = int(s[2:] or "0") or -1
+        elif s.startswith("-f"):
+            opts["flexible"] = s[2:] != "0"
         elif s.startswith("-m"):
-            opts["window"] = max(8, min(250, int(s[2:] or "250")))
+            # reference match_limit (chain-walk depth, roxmain/main.c:98-102)
+            # maps to our probed-candidate count: depth 40 ~ top-4
+            opts["depth"] = max(1, int(s[2:] or "40"))
         else:
             raise SystemExit(USAGE.format(prog=prog))
     if len(args) != 3 or args[0] not in ("e", "d"):
@@ -87,8 +94,14 @@ def make_params(codec_name: str, opts) -> ContainerParams:
         lanes=lanes,
         steps=steps,
         mode=mode,
-        min_len={"P": 4, "R": 5, "X": 8}[mode],
+        # ref match_min: lzp 4 (ropmain), rolz 5; lz77 takes match_min_near
+        # = 6 (roxmain cr-matcher.c:35) — the price-DP parse only accepts
+        # short near matches when they out-earn literals, so the format
+        # floor can sit at the reference's short-match minimum
+        min_len={"P": 4, "R": 5, "X": 6}[mode],
         window=opts.get("window", 250),
+        top_k=max(1, min(8, round(opts.get("depth", 40) / 10))),
+        flexible=opts.get("flexible", True),
         # 4-byte ROLZ contexts for large blocks (reference rule: rolzmain/
         # cr-matcher.c:38-42; measured -2.5% bpb on 8MiB doc text)
         rolz_ctx_bytes=4 if (mode == "R" and cap >= 4 * 1048576) else 3,

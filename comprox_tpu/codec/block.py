@@ -98,6 +98,11 @@ class BlockParams:
     lazy_top_k: int = 4
     probe: int = 32  # phase-1 candidate probe depth (bytes; the winner
     # alone gets the full-window extension)
+    flexible: bool = True  # price-DP parse (roxmain/cr-matcher.c:253-293
+    # flexible parsing, generalized): a backward cost scan chooses per
+    # position literal vs any admissible truncation of the found match.
+    # False = greedy accept-longest with a one-step lazy check (the
+    # reference's default parse).  Pure encoder policy, not format.
 
     def __post_init__(self):
         if self.lanes % 8 or self.lanes < 8:
@@ -227,15 +232,25 @@ def _byteswap32(v):
     )
 
 
-def _init_carry(p: BlockParams, enc_side: bool):
+def _init_carry(p: BlockParams, enc_side: bool, search: bool = False):
+    """Scan carry.  ``search=True`` builds the encoder's search-pass carry:
+    match tables only (no PPM tables needed), plus the 'X' short-hash
+    cache.  The modeling pass no longer owns the 'X' bucket table — match
+    decisions are precomputed by the search+parse passes."""
     c = {
-        "tables": ppm.init_tables(p.match, p.o3_bits),
         "ctx4": jnp.zeros((p.lanes,), _u32),  # last 4 bytes, newest low
         "ctx4b": jnp.zeros((p.lanes,), _u32),  # bytes -8..-5
         "copy_rem": jnp.zeros((p.lanes,), _i32),
         "copy_src": jnp.zeros((p.lanes,), _i32),
     }
-    if p.mode == "R" or (p.mode == "X" and enc_side):
+    if not search:
+        c["tables"] = ppm.init_tables(p.match, p.o3_bits)
+    if p.mode == "X" and search:
+        # roxmain's 65536-entry short-match cache (cr-matcher.c:319-331):
+        # last position per 6-byte-hash, serving near matches the bucket
+        # search misses.  Encoder-private (distances are coded).
+        c["xshort"] = jnp.zeros((1 << 16,), _i32)
+    if p.mode == "R" or (p.mode == "X" and search):
         # 'X' keeps the bucket tables encoder-private: distances are coded
         # explicitly, so the decoder never touches a match table.
         # Entries pack (pos+1, prefix4) in one table: random accesses cost
@@ -762,11 +777,279 @@ def _dist_extra_events(dist, k_dist, has_extra):
 
 
 # --------------------------------------------------------------------------
+# Encode pass 0: match-search scan + parse pass (modes 'R' and 'X')
+#
+# The reference searches and codes in one sequential loop, with flexible
+# parsing as a match-result cache + 2-segment price lookahead
+# (roxmain/cr-matcher.c:240-293).  Lock-step lanes allow a cleaner split:
+# pass 0 finds every position's best candidates (the match tables evolve
+# by position, never by parse decisions, so candidates computed up front
+# stay valid); a backward cost scan then solves the whole parse as a DP —
+# literal vs ANY admissible truncation of the candidate, priced like the
+# reference's M_price.  The modeling pass just executes decisions.  Pure
+# encoder policy: the format codes whatever (len, idx/dist) was chosen.
+# --------------------------------------------------------------------------
+
+# parse prices in fifths of a bit (encoder policy, CPX_* sweepable):
+#   literal ~ its typical PPM cost; match = flag+len+idx/dist-bucket cost,
+#   plus per-recency/per-dist-bucket growth (the analogue of the
+#   reference's fast_log2(dist)*4/5 price term, cr-matcher.c:268-270)
+_P_LIT_R = int(_os.environ.get("CPX_PARSE_LIT_R", "14"))
+_P_RM = int(_os.environ.get("CPX_PARSE_RM", "50"))
+_P_RI = int(_os.environ.get("CPX_PARSE_RI", "6"))  # per idx recency bucket
+_P_LIT_X = int(_os.environ.get("CPX_PARSE_LIT_X", "10"))
+_P_XM = int(_os.environ.get("CPX_PARSE_XM", "55"))
+_P_XK = int(_os.environ.get("CPX_PARSE_XK", "5"))  # per distance bucket
+_P_XREP = int(_os.environ.get("CPX_PARSE_XREP", "45"))  # repeat-distance
+# match: no mantissa bits, one hot SYM_DST_REPEAT symbol (the analogue of
+# the reference's last_match preference, cr-matcher.c:246-249,314-317)
+_P_INF = 1 << 20
+
+
+def x_hash6(win):
+    """6-byte content hash for the short-match cache ([S, >=6] byte window
+    -> [S] bucket; shape of roxmain's short_hash, cr-matcher.c:206-214)."""
+    h = jnp.zeros((win.shape[0],), _u32)
+    for j in range(6):
+        h = h * _u32(123456791) ^ win[:, j].astype(_u32)
+    return ((h ^ (h >> 15)) & _u32(0xFFFF)).astype(_i32)
+
+
+def _search_body(p: BlockParams, inp_pad, inp_w32, n, c, t):
+    """One search step: candidates for every lane's position, then the
+    shared position-driven table evolution (identical to the modeling
+    pass's, so pass-0 candidate indices stay valid there and at decode)."""
+    lanes = _lane_ids(p.lanes)
+    pos = lanes * p.steps + t
+    active = pos < n
+    cur_win = jax.lax.dynamic_slice(
+        inp_pad, (0, t), (p.lanes, p.window + 1)
+    ).astype(_i32)
+    byte = cur_win[:, 0]
+    zero = jnp.zeros((p.lanes,), _i32)
+    if p.mode == "R":
+        length, src, sym_idx, fill = _rolz_best_match(
+            c, pos, t, n, p, inp_w32, cur_win
+        )
+        length = jnp.where(active & (t >= 7), length, 0)
+        out = (length, src, sym_idx, fill)
+    else:  # 'X'
+        length, src, _, _ = _rolz_best_match(
+            c, pos, t, n, p, inp_w32, cur_win, x_keyed=True
+        )
+        ok = (src >= 0) & (src < pos) & active & (t >= 7)
+        length = jnp.where(ok, length, 0)
+        # short-hash near-match candidate (cr-matcher.c:319-331): one
+        # 65536-entry cache keyed by the next 6 bytes; byte-verified by
+        # prefix extension, so hash collisions just yield length 0
+        h6 = x_hash6(cur_win)
+        cand = c["xshort"][h6] - 1
+        ok2 = (cand >= 0) & (cand < pos) & active & (t >= 7)
+        win2 = _gather_windows(inp_w32, jnp.maximum(cand, 0), p.window)
+        len2 = _prefix_len(cur_win[:, : p.window], win2)
+        cap = jnp.minimum(
+            jnp.minimum(p.steps - t, n - pos),
+            min(p.window, p.min_len + ppm.LEN_W - 1),
+        )
+        len2 = jnp.minimum(jnp.where(ok2, len2, 0), cap)
+        c = dict(c)
+        c["xshort"] = (
+            c["xshort"]
+            .at[jnp.where(active, h6, 1 << 16)]
+            .max(pos + 1, mode="drop")
+        )
+        out = (length, src, len2, cand)
+    c = _post_step(
+        c, t, n, p, pos, active, byte,
+        jnp.zeros((p.lanes,), bool), zero, zero, enc_side=True,
+    )
+    return c, out
+
+
+def _cand_min_cost(p: BlockParams, cw, length, price):
+    """min over l in [min_len, length] of price + cost[t+l], with the
+    achieving l.  ``cw[:, j]`` holds cost[t+1+j]; ties prefer the longest
+    l (same cost, fewer coded symbols).  Returns (cost, l)."""
+    w = cw.shape[1]
+    offs = jax.lax.broadcasted_iota(_i32, cw.shape, 1)  # l = offs+1
+    mask = (offs + 1 >= p.min_len) & (offs + 1 <= length[:, None])
+    key = jnp.where(mask, (cw + price[:, None]) * 256 + (255 - offs), _P_INF * 256)
+    best = jnp.min(key, axis=1)
+    l = 256 - (best % 256)
+    return best // 256, l
+
+
+def _parse_body(p: BlockParams, n, cw, xs):
+    """One backward-DP step: cost[t] and the decision at t.  'X' xs may
+    carry a 6th/7th element (rep-extend length + expected prev distance)
+    on the rep-aware second parse iteration."""
+    lanes = _lane_ids(p.lanes)
+    if p.mode == "R":
+        t, l1, s1, idx1 = xs
+        price1 = _P_RM + _P_RI * _rec_bucket(idx1)
+        cands = [(l1, s1, price1)]
+        lit = _P_LIT_R
+    else:
+        t, l1, s1, l2, s2 = xs[:5]
+        pos = lanes * p.steps + t
+        d1 = jnp.maximum(pos - s1, 1)
+        d2 = jnp.maximum(pos - s2, 1)
+        price1 = _P_XM + _P_XK * _dist_bucket(d1)
+        price2 = _P_XM + _P_XK * _dist_bucket(d2)
+        cands = [(l1, s1, price1), (l2, s2, price2)]
+        if len(xs) > 5:
+            lrep, prev = xs[5], xs[6]
+            # normal candidates that happen to sit at the expected repeat
+            # distance also get the cheap price
+            price1 = jnp.where(d1 == prev, _P_XREP, price1)
+            price2 = jnp.where(d2 == prev, _P_XREP, price2)
+            cands = [
+                (l1, s1, price1),
+                (l2, s2, price2),
+                (lrep, pos - prev, jnp.full_like(prev, _P_XREP)),
+            ]
+        lit = _P_LIT_X
+    pos = lanes * p.steps + t
+    active = pos < n
+    cost_lit = lit + cw[:, 0]
+    best_cost, best_len, best_src = cost_lit, jnp.zeros_like(cost_lit), (
+        jnp.zeros_like(cost_lit)
+    )
+    for lx, sx, px in cands:
+        cost_m, l_m = _cand_min_cost(p, cw, lx, px)
+        better = cost_m <= best_cost  # tie -> match (fewer coded symbols)
+        best_len = jnp.where(better, l_m, best_len)
+        best_src = jnp.where(better, sx, best_src)
+        best_cost = jnp.minimum(best_cost, cost_m)
+    best_cost = jnp.where(active, best_cost, 0)
+    best_len = jnp.where(active, best_len, 0)
+    cw = jnp.concatenate([best_cost[:, None], cw[:, :-1]], axis=1)
+    return cw, (best_len, best_src)
+
+
+def _greedy_decisions(p: BlockParams, n, outs):
+    """Greedy accept-longest with a one-step lazy check — the reference's
+    default parse (lazy branch of cr-matcher.c:296-311), elementwise over
+    the whole [T, S] candidate grid."""
+    if p.mode == "R":
+        l1, s1 = outs[0], outs[1]
+    else:
+        l1, s1, l2, s2 = outs
+        # short-cache fallback when the bucket found nothing usable
+        use2 = (l1 < p.min_len) & (l2 >= p.min_len)
+        l1 = jnp.where(use2, l2, l1)
+        s1 = jnp.where(use2, s2, s1)
+    len_next = jnp.concatenate([l1[1:], jnp.zeros_like(l1[:1])], axis=0)
+    if p.mode == "X":
+        ts = jnp.arange(l1.shape[0], dtype=_i32)[:, None]
+        pos = _lane_ids(p.lanes)[None, :] * p.steps + ts
+        k = _dist_bucket(jnp.maximum(pos - s1, 1))
+        accept = jnp.maximum(p.min_len, 2 + (3 * k) // 4)
+    else:
+        accept = p.min_len
+    do = (l1 >= accept) & (len_next <= l1 + 1)
+    return jnp.where(do, l1, 0), s1
+
+
+def _sim_prev_dist(p: BlockParams, ts, take, src):
+    """Forward-replay the parse decisions to the per-position prev_dist
+    each lane would hold at coding time (the modeling pass's execution
+    rule: decisions inside a running copy are skipped)."""
+
+    def body(carry, xs):
+        rem, prev = carry
+        t, tk, sr = xs
+        pos = _lane_ids(p.lanes) * p.steps + t
+        start = (rem == 0) & (tk > 0)
+        dist = jnp.maximum(pos - sr, 1)
+        new_prev = jnp.where(start, dist, prev)
+        new_rem = jnp.where(
+            rem > 0, rem - 1, jnp.where(start, tk - 1, 0)
+        )
+        return (new_rem, new_prev), prev  # prev BEFORE this position
+
+    init = (jnp.zeros((p.lanes,), _i32), jnp.ones((p.lanes,), _i32))
+    _, prev_arr = jax.lax.scan(body, init, (ts, take, src))
+    return prev_arr  # [T, S]
+
+
+def _rep_lengths(p: BlockParams, inp_flat, n, ts, prev_arr):
+    """Repeat-distance match length at every position: forward run length
+    of byte equality vs the position prev_arr back, restricted to runs
+    with a constant expected prev (one flat gather + a backward scan)."""
+    pos_all = _lane_ids(p.lanes)[None, :] * p.steps + ts[:, None]  # [T,S]
+    cur = inp_flat[jnp.clip(pos_all, 0, inp_flat.shape[0] - 1)]
+    src_rep = pos_all - prev_arr
+    back = inp_flat[jnp.clip(src_rep, 0, inp_flat.shape[0] - 1)]
+    # decode causality: lanes decode in lock-step, so src must sit at a
+    # strictly earlier step (src % T < t; with the length cap <= T - t the
+    # copy then never outruns the producer).  Bucket candidates satisfy
+    # this by construction; the rep candidate must be masked explicitly —
+    # prev can exceed t, placing src in a previous lane's region at a
+    # LATER step (found by /verify's CLI round trip at 64x512).
+    causal = (src_rep % p.steps) < ts[:, None]
+    eq = (cur == back) & (src_rep >= 0) & causal & (pos_all < n)
+
+    def body(carry, xs):
+        rl_next, prev_next = carry
+        eq_t, prev_t = xs
+        cont = prev_next == prev_t
+        rl = jnp.where(eq_t, 1 + jnp.where(cont, rl_next, 0), 0)
+        return (rl, prev_t), rl
+
+    init = (jnp.zeros((p.lanes,), _i32), jnp.ones((p.lanes,), _i32))
+    _, len_rep = jax.lax.scan(body, init, (eq, prev_arr), reverse=True)
+    cap = jnp.minimum(
+        jnp.minimum(p.steps - ts[:, None], n - pos_all),
+        min(p.window, p.min_len + ppm.LEN_W - 1),
+    )
+    return jnp.minimum(len_rep, jnp.maximum(cap, 0))
+
+
+def _search_and_parse(p: BlockParams, inp_pad, inp_flat, inp_w32, n):
+    """Passes 0 (search) and 0.5 (parse) -> per-step decision arrays fed
+    to the modeling scan as scan inputs.  'X' runs a second, rep-aware
+    parse iteration: simulate prev_dist under the first parse, measure
+    repeat-distance runs, and re-parse with the cheap rep candidate (the
+    reference's last_match-first lookup, cr-matcher.c:246-249, expressed
+    as a fixed-point-ish second DP pass)."""
+    carry = _init_carry(p, enc_side=True, search=True)
+    body = functools.partial(_search_body, p, inp_pad, inp_w32, n)
+    _, outs = jax.lax.scan(body, carry, jnp.arange(p.steps, dtype=_i32))
+    ts = jnp.arange(p.steps, dtype=_i32)
+    if p.flexible:
+        xs = (ts, outs[0], outs[1], outs[2]) if p.mode == "R" else (
+            ts, outs[0], outs[1], outs[2], outs[3]
+        )
+        cw0 = jnp.zeros((p.lanes, p.window), _i32)
+        parse = functools.partial(_parse_body, p, n)
+        _, (take, src) = jax.lax.scan(parse, cw0, xs, reverse=True)
+        if p.mode == "R":
+            src = outs[1]  # single candidate: src is the search's
+        else:
+            prev_arr = _sim_prev_dist(p, ts, take, src)
+            len_rep = _rep_lengths(p, inp_flat, n, ts, prev_arr)
+            xs2 = xs + (len_rep, prev_arr)
+            _, (take, src) = jax.lax.scan(parse, cw0, xs2, reverse=True)
+    else:
+        take, src = _greedy_decisions(p, n, outs)
+    if p.mode == "R":
+        return ts, take, src, outs[2], outs[3]  # + sym_idx, fill
+    return ts, take, src
+
+
+# --------------------------------------------------------------------------
 # Encode pass 1: forward modeling scan -> normalized (c, f) event grids
 # --------------------------------------------------------------------------
 
 
-def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, t):
+def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
+    if p.match and p.mode == "R":
+        t, dec_take, dec_src, dec_idx, dec_fill = xs
+    elif p.match and p.mode == "X":
+        t, dec_take, dec_src = xs
+    else:
+        t = xs
     (lanes, pos, active, coding, copying, p1, ctx2, h3, pred, conf) = (
         _common_reads(c, t, n, p)
     )
@@ -781,68 +1064,22 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, t):
     dist = jnp.ones((p.lanes,), _i32)
     rolz_fill = jnp.zeros((p.lanes,), _i32)
     if p.match and p.mode == "X":
-        # LZ77: bucket keyed by the upcoming 4 content bytes; the table is
-        # encoder-private because the distance is coded explicitly
-        # (roxmain's hash-chain search, re-expressed as fixed-depth
-        # buckets + top-K extension + lazy probe).
-        length, src, _, _ = _rolz_best_match(
-            c, pos, t, n, p, inp_w32, cur_win, x_keyed=True
-        )
-        if p.lazy_top_k > 0:
-            len_next, _, _, _ = _rolz_best_match(
-                c, pos + 1, t, n, p, inp_w32, cur_win[:, 1:], x_keyed=True,
-                probe_only=True,
-            )
-        else:
-            len_next = jnp.zeros((p.lanes,), _i32)
-        ok = (src >= 0) & (src < pos)
-        length = jnp.where(ok, length, 0)
-        # cost-aware acceptance: a match must out-earn its price, which is
-        # dominated by ~k mantissa bits of the distance (repeat-distance
-        # matches are nearly free).  Encoder policy only.
-        dist_cand = jnp.maximum(pos - src, 1)
-        k_cand = _dist_bucket(dist_cand)
-        is_rep = dist_cand == c["prev_dist"]
-        # measured (doc-text 256KiB proxy): looser thresholds ADD size —
-        # matched bytes would code at ~4.3 bits through o2/o3 anyway, so
-        # only long matches out-earn their ~(15+k)-bit price
-        accept_len = jnp.where(
-            is_rep, p.min_len,
-            jnp.maximum(p.min_len, 2 + (3 * k_cand) // 4),
-        )
-        do_match = (
-            coding
-            & (t >= 7)
-            & (length >= accept_len)
-            & (len_next <= length + 1)
-        )
-        dist = jnp.where(do_match, dist_cand, 1)
+        # decisions precomputed by the search+parse passes (the bucket
+        # table is search-pass-private: distances are coded explicitly)
+        length = dec_take
+        src = dec_src
+        do_match = coding & (length > 0)
+        dist = jnp.where(do_match, jnp.maximum(pos - src, 1), 1)
     elif p.match and p.mode == "R":
-        # ROLZ candidate scoring: compare each bucket entry's 4-byte prefix
-        # cache against the upcoming input bytes; extend the top-K
-        # prefix-matching candidates and keep the longest (the vectorized
-        # analogue of the reference's candidate walk,
-        # rolzmain/cr-matcher.c:122-162).  Free policy — the chosen index
-        # is coded, so the decoder never searches.
-        length, src, sym_idx, rolz_fill = _rolz_best_match(
-            c, pos, t, n, p, inp_w32, cur_win
-        )
-        valid = coding & (t >= 7)
-        # lazy parsing (shape of rolzmain/cr-matcher.c:186-195): if the
-        # next position promises a strictly better match, hold back one
-        # literal instead of committing now.  Pure encoder policy.  The
-        # probe is p.probe-deep only: deep matches are never deferred.
-        if p.lazy_top_k > 0:
-            len_next, _, _, _ = _rolz_best_match(
-                c, pos + 1, t, n, p, inp_w32, cur_win[:, 1:],
-                probe_only=True,
-                ctx4_override=(c["ctx4"] << 8) | byte.astype(_u32),
-            )
-        else:
-            len_next = jnp.zeros((p.lanes,), _i32)
-        do_match = (
-            valid & (length >= p.min_len) & (len_next <= length + 1)
-        )
+        # decisions precomputed by the search+parse passes; the bucket
+        # evolution there is position-driven and identical to this pass's
+        # (and the decoder's), so the coded index resolves to the same
+        # source everywhere
+        length = dec_take
+        src = dec_src
+        sym_idx = dec_idx
+        rolz_fill = dec_fill
+        do_match = coding & (length > 0)
     elif p.match:
         # LZP: causality note — an entry inserted at step s names a position
         # decoded at step s+1; a reader at step t gathers BEFORE this step's
@@ -937,7 +1174,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, t):
     c["tables"] = tbs
     c = _post_step(
         c, t, n, p, pos, active, byte, is_match, src, sym_len,
-        enc_side=True, dist=dist,
+        enc_side=False, dist=dist,  # 'X' bucket inserts live in pass 0 now
     )
     out = [
         ca.astype(jnp.uint16),
@@ -974,7 +1211,11 @@ def _encode_passes(p: BlockParams, inp, n):
     body = functools.partial(
         _encode_model_body, p, inp_pad, inp_flat, inp_w32, n
     )
-    carry, ev = jax.lax.scan(body, carry, jnp.arange(p.steps, dtype=_i32))
+    if p.match and p.mode in ("R", "X"):
+        xs = _search_and_parse(p, inp_pad, inp_flat, inp_w32, n)
+    else:
+        xs = jnp.arange(p.steps, dtype=_i32)
+    carry, ev = jax.lax.scan(body, carry, xs)
     n_slots = p.n_slots
     slot_grids = ev[: 3 * n_slots]
 

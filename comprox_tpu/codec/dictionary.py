@@ -173,8 +173,94 @@ def build_dictionary(data: np.ndarray, max_words2: Optional[int] = None
     return d
 
 
+def _native_enc_tables(d: WordDict):
+    """Marshal the encode map for csrc/native.c (cached on the dict)."""
+    t = getattr(d, "_nat_enc", None)
+    if t is not None:
+        return t
+    items = list(d.enc_map.items())
+    words = b"".join(w for w, _ in items)
+    woff = np.zeros(len(items) + 1, np.int64)
+    np.cumsum([len(w) for w, _ in items], out=woff[1:])
+    codes = b"".join(c for _, c in items)
+    coff = np.zeros(len(items) + 1, np.int64)
+    np.cumsum([len(c) for _, c in items], out=coff[1:])
+    esc = np.zeros((256, 3), np.uint8)
+    esc[:, 0] = 1
+    esc[:, 1] = np.arange(256)
+    for j, lead in enumerate(d.leads):
+        esc[lead] = (2,) + d.esc_code(j)
+    if d.cap_byte >= 0:
+        esc[d.cap_byte] = (2,) + d.esc_code(len(d.leads))
+    nslots = 1
+    while nslots < 2 * max(len(items), 1):
+        nslots *= 2
+    t = (
+        np.frombuffer(words, np.uint8), woff,
+        np.frombuffer(codes, np.uint8), coff, esc.reshape(-1),
+        np.zeros(nslots, np.int32),
+    )
+    d._nat_enc = t
+    return t
+
+
+def _native_dec_tables(d: WordDict):
+    """Marshal the decode tables for csrc/native.c (cached on the dict)."""
+    t = getattr(d, "_nat_dec", None)
+    if t is not None:
+        return t
+    words: List[bytes] = []
+    one_map = np.zeros(256, np.int32)
+    for cb, w in zip(d.one_codes, d.words1):
+        one_map[cb] = len(words) + 1
+        words.append(w)
+    lead_idx = np.full(256, 255, np.uint8)
+    for j, lead in enumerate(d.leads):
+        lead_idx[lead] = j
+    two_map = np.zeros(len(d.leads) * 256, np.int32)
+    for (lead, cb), w in zip(d.two_codes(), d.words2):
+        two_map[int(lead_idx[lead]) * 256 + cb] = len(words) + 1
+        words.append(w)
+    for j, lead in enumerate(d.leads):  # literal escapes
+        el, ec = d.esc_code(j)
+        two_map[int(lead_idx[el]) * 256 + ec] = len(words) + 1
+        words.append(bytes([lead]))
+    if d.cap_byte >= 0:
+        el, ec = d.esc_code(len(d.leads))
+        two_map[int(lead_idx[el]) * 256 + ec] = len(words) + 1
+        words.append(bytes([d.cap_byte]))
+    cat = b"".join(words)
+    woff = np.zeros(len(words) + 1, np.int64)
+    np.cumsum([len(w) for w in words], out=woff[1:])
+    t = (np.frombuffer(cat, np.uint8), woff, one_map, two_map, lead_idx)
+    d._nat_dec = t
+    return t
+
+
+_NO_NATIVE = _os.environ.get("CPX_NO_NATIVE") == "1"
+
+
 def dict_encode(data: np.ndarray, d: WordDict) -> np.ndarray:
-    """Substitute words; escape literal lead/cap bytes.  Per-block pass #2."""
+    """Substitute words; escape literal lead/cap bytes.  Per-block pass #2.
+
+    Runs the native loop (csrc/native.c dict_encode_c — the analogue of the
+    reference's threaded substitution stage, cr-diccode.c:142-221) when the
+    runtime library is available; the Python path below is the executable
+    specification and produces byte-identical output (tested)."""
+    if not _NO_NATIVE and data.size:
+        from comprox_tpu.utils import native as _nat
+
+        words, woff, codes, coff, esc, slots = _native_enc_tables(d)
+        out = _nat.dict_encode_c(
+            np.ascontiguousarray(data), words, woff, codes, coff,
+            d.space, d.cap_byte, esc, slots,
+        )
+        if out is not None:
+            return out
+    return _dict_encode_py(data, d)
+
+
+def _dict_encode_py(data: np.ndarray, d: WordDict) -> np.ndarray:
     raw = data.tobytes()
     esc = {
         lead: bytes(d.esc_code(j)) for j, lead in enumerate(d.leads)
@@ -217,6 +303,22 @@ def _cap_first(w: bytes) -> bytes:
 
 
 def dict_decode(data: np.ndarray, d: WordDict) -> np.ndarray:
+    """Expansion via the native loop (csrc/native.c dict_decode_c) when
+    available; Python fallback below is the executable spec."""
+    if not _NO_NATIVE and data.size:
+        from comprox_tpu.utils import native as _nat
+
+        words, woff, one_map, two_map, lead_idx = _native_dec_tables(d)
+        out = _nat.dict_decode_c(
+            np.ascontiguousarray(data), words, woff, one_map, two_map,
+            lead_idx, d.cap_byte,
+        )
+        if out is not None:
+            return out
+    return _dict_decode_py(data, d)
+
+
+def _dict_decode_py(data: np.ndarray, d: WordDict) -> np.ndarray:
     """Expansion: every lead/cap byte starts a real code by construction
     (cb values never collide with leads), so no sequential re-scan is
     needed — a hybrid loop over code occurrences with bulk copies between

@@ -107,3 +107,61 @@ def _e8e9_python(buf: np.ndarray, vbase: int, vsize: int, en_de: int) -> None:
             i += 4
         else:
             i += 1
+
+
+def _setup_dict(lib: ctypes.CDLL) -> None:
+    if getattr(lib, "_dict_setup", False):
+        return
+    lib.dict_encode_c.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
+    lib.dict_encode_c.restype = ctypes.c_int64
+    lib.dict_decode_c.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p,
+    ]
+    lib.dict_decode_c.restype = ctypes.c_int64
+    lib._dict_setup = True
+
+
+def dict_encode_c(inp, words, woff, codes, coff, space_mode, cap_byte,
+                  esc_map, slots):
+    """Raw ctypes shim for csrc/native.c dict_encode_c; returns the coded
+    bytes or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _setup_dict(lib)
+    out = np.empty(2 * inp.size + 4, np.uint8)
+    n = lib.dict_encode_c(
+        inp.ctypes.data, inp.size, words.ctypes.data, woff.ctypes.data,
+        woff.size - 1, codes.ctypes.data, coff.ctypes.data,
+        int(space_mode), int(cap_byte), esc_map.ctypes.data,
+        slots.ctypes.data, slots.size, out.ctypes.data,
+    )
+    return out[:n].copy()
+
+
+def dict_decode_c(inp, words, woff, one_map, two_map, lead_idx, cap_byte):
+    """Raw ctypes shim for csrc/native.c dict_decode_c (size pass + fill
+    pass); returns the expanded bytes or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _setup_dict(lib)
+    size = lib.dict_decode_c(
+        inp.ctypes.data, inp.size, words.ctypes.data, woff.ctypes.data,
+        one_map.ctypes.data, two_map.ctypes.data, lead_idx.ctypes.data,
+        int(cap_byte), None,
+    )
+    out = np.empty(size, np.uint8)
+    lib.dict_decode_c(
+        inp.ctypes.data, inp.size, words.ctypes.data, woff.ctypes.data,
+        one_map.ctypes.data, two_map.ctypes.data, lead_idx.ctypes.data,
+        int(cap_byte), out.ctypes.data,
+    )
+    return out

@@ -67,3 +67,150 @@ int64_t e8e9_active_positions(const uint8_t *buf, int64_t len,
     }
     return n;
 }
+
+/* ---------------------------------------------------------------------- */
+/* Dictionary substitution loops (the sequential host stage of the        */
+/* codec/dictionary.py scheme; the reference threads its equivalent,      */
+/* cr-diccode.c:142-283).  Both directions are exact ports of the Python  */
+/* reference implementation in codec/dictionary.py — archives must be     */
+/* byte-identical whichever path runs.                                    */
+/* ---------------------------------------------------------------------- */
+
+#define DICT_ALPHA(c) (((c) >= 'A' && (c) <= 'Z') || ((c) >= 'a' && (c) <= 'z'))
+
+static uint64_t dict_hash(const uint8_t *s, int64_t len) {
+    uint64_t h = 1469598103934665603ull; /* FNV-1a */
+    for (int64_t i = 0; i < len; i++) {
+        h ^= s[i];
+        h *= 1099511628211ull;
+    }
+    return h;
+}
+
+/* Open-addressing token table built per call (nwords <= ~66k: microseconds).
+ * slots holds word indices + 1 (0 = empty). */
+static int64_t dict_lookup(const int32_t *slots, int64_t nslots,
+                           const uint8_t *words, const int64_t *woff,
+                           const uint8_t *tok, int64_t tlen) {
+    uint64_t h = dict_hash(tok, tlen) & (uint64_t)(nslots - 1);
+    while (slots[h]) {
+        int64_t w = slots[h] - 1;
+        int64_t wl = woff[w + 1] - woff[w];
+        if (wl == tlen && memcmp(words + woff[w], tok, tlen) == 0) return w;
+        h = (h + 1) & (uint64_t)(nslots - 1);
+    }
+    return -1;
+}
+
+/* Substitute tokens ([A-Za-z]{2,20} plus an optional trailing space when
+ * space_mode) with their codes; escape literal lead/cap bytes.  Capitalized
+ * tokens fold to their lowercase entry and emit cap_byte + code.  Returns
+ * bytes written (out_cap must be >= 2*n + 4).  slots is caller-provided
+ * scratch of nslots int32 (nslots = power of two > 2*nwords). */
+int64_t dict_encode_c(const uint8_t *inp, int64_t n, const uint8_t *words,
+                      const int64_t *woff, int64_t nwords,
+                      const uint8_t *codes, const int64_t *coff,
+                      int32_t space_mode, int32_t cap_byte,
+                      const uint8_t *esc_map, /* [256][3]: len,b0,b1 */
+                      int32_t *slots, int64_t nslots, uint8_t *out) {
+    int64_t o = 0, i = 0;
+    memset(slots, 0, (size_t)nslots * sizeof(int32_t));
+    for (int64_t w = 0; w < nwords; w++) {
+        int64_t wl = woff[w + 1] - woff[w];
+        uint64_t h = dict_hash(words + woff[w], wl) & (uint64_t)(nslots - 1);
+        while (slots[h]) h = (h + 1) & (uint64_t)(nslots - 1);
+        slots[h] = (int32_t)(w + 1);
+    }
+    while (i < n) {
+        uint8_t c = inp[i];
+        if (DICT_ALPHA(c) && i + 1 < n && DICT_ALPHA(inp[i + 1])) {
+            int64_t tlen = 2;
+            while (tlen < 20 && i + tlen < n && DICT_ALPHA(inp[i + tlen]))
+                tlen++;
+            if (space_mode && i + tlen < n && inp[i + tlen] == ' ') tlen++;
+            int64_t w = dict_lookup(slots, nslots, words, woff, inp + i,
+                                    tlen);
+            uint8_t folded[21];
+            if (w < 0 && cap_byte >= 0 && inp[i] >= 'A' && inp[i] <= 'Z') {
+                /* fold candidate: rest (minus trailing space) all a-z */
+                int64_t rl = tlen;
+                if (inp[i + rl - 1] == ' ') rl--;
+                int ok = 1;
+                for (int64_t k = 1; k < rl; k++)
+                    if (!(inp[i + k] >= 'a' && inp[i + k] <= 'z')) ok = 0;
+                if (ok) {
+                    memcpy(folded, inp + i, (size_t)tlen);
+                    folded[0] += 32;
+                    w = dict_lookup(slots, nslots, words, woff, folded,
+                                    tlen);
+                    if (w >= 0) out[o++] = (uint8_t)cap_byte;
+                }
+            }
+            if (w >= 0) {
+                int64_t cl = coff[w + 1] - coff[w];
+                memcpy(out + o, codes + coff[w], (size_t)cl);
+                o += cl;
+            } else {
+                for (int64_t k = 0; k < tlen; k++) {
+                    const uint8_t *e = esc_map + 3 * inp[i + k];
+                    out[o++] = e[1];
+                    if (e[0] == 2) out[o++] = e[2];
+                }
+            }
+            i += tlen;
+        } else {
+            const uint8_t *e = esc_map + 3 * c;
+            out[o++] = e[1];
+            if (e[0] == 2) out[o++] = e[2];
+            i++;
+        }
+    }
+    return o;
+}
+
+/* Expand codes back to words.  Tables: one_map[256] / two_map[nleads*256]
+ * hold word index + 1 (0 = not a code); lead_idx[256] = lead index or 255;
+ * cap_byte < 0 disables the capitalization mark.  When out is NULL only
+ * counts the output size.  Returns bytes (to be) written. */
+int64_t dict_decode_c(const uint8_t *inp, int64_t n, const uint8_t *words,
+                      const int64_t *woff, const int32_t *one_map,
+                      const int32_t *two_map, const uint8_t *lead_idx,
+                      int32_t cap_byte, uint8_t *out) {
+    int64_t o = 0, i = 0;
+    while (i < n) {
+        uint8_t c = inp[i];
+        int capped = (cap_byte >= 0 && c == (uint8_t)cap_byte);
+        if (capped) {
+            i++;
+            if (i >= n) break; /* dangling cap mark: drop (fail-soft) */
+            c = inp[i];
+        }
+        int64_t w = -1;
+        if (lead_idx[c] != 255) {
+            uint8_t cb = (i + 1 < n) ? inp[i + 1] : 0;
+            w = (int64_t)two_map[(int64_t)lead_idx[c] * 256 + cb] - 1;
+            i += 2;
+        } else if (one_map[c]) {
+            w = (int64_t)one_map[c] - 1;
+            i += 1;
+        } else {
+            if (capped) { /* cap before a non-code byte: drop the mark */
+                continue;
+            }
+            if (out) out[o] = c;
+            o++;
+            i++;
+            continue;
+        }
+        if (w >= 0) {
+            int64_t wl = woff[w + 1] - woff[w];
+            if (out) {
+                memcpy(out + o, words + woff[w], (size_t)wl);
+                if (capped && wl && out[o] >= 'a' && out[o] <= 'z')
+                    out[o] -= 32;
+            }
+            o += wl;
+        }
+    }
+    return o;
+}

@@ -115,3 +115,38 @@ def test_roundtrip_short_table(name):
     p = BlockParams(lanes=8, steps=128, mode="R", min_len=5, window=32,
                     o3_bits=14, rolz_bits=10, rolz_depth=16, short_depth=16)
     roundtrip(corpus(name, p.capacity, seed=6), p)
+
+
+def test_x_parse_decisions_causal():
+    """Regression: the rep-aware second parse (X flexible parsing) once
+    emitted repeat-source decisions whose source step was >= t — lanes
+    decode in lock-step, so the decoder would copy bytes not yet
+    produced.  Every emitted decision must satisfy src % steps < t.
+    Found by a CLI round trip at 64x512 on C-like source text (smaller
+    geometries and word-salad corpora dodge it)."""
+    import jax.numpy as jnp
+
+    from comprox_tpu.codec import block as B
+
+    p = BlockParams(lanes=64, steps=512, mode="X", min_len=6, window=64,
+                    o3_bits=14, rolz_bits=12, rolz_depth=16)
+    # adversarial construction: at step 0 the simulated prev_dist is the
+    # init value 1, so a run of identical NON-zero bytes crossing a lane
+    # boundary yields a rep candidate whose source is the PREVIOUS lane's
+    # step 511 — decoded later in lock-step.  Only the causal mask rejects
+    # it (all-zero runs hide the bug: the unwritten decode buffer is 0).
+    data = np.random.default_rng(8).integers(
+        0, 256, p.capacity, dtype=np.uint8
+    )
+    data[4 * p.steps - 8 : 4 * p.steps + 12] = 0x41
+    n = data.size
+    inp = jnp.asarray(data.reshape(p.lanes, p.steps))
+    inp_flat = inp.reshape(-1)
+    inp_w32 = B._pack_words(inp_flat)
+    inp_pad = jnp.pad(inp, ((0, 0), (0, p.window + 1)))
+    _, take, src = B._search_and_parse(p, inp_pad, inp_flat, inp_w32, n)
+    take, src = np.asarray(take), np.asarray(src)
+    t_grid = np.arange(p.steps)[:, None]
+    bad = (take > 0) & ((src % p.steps) >= t_grid)
+    assert not bad.any(), f"{bad.sum()} non-causal parse decisions"
+    roundtrip(data, p)

@@ -86,3 +86,37 @@ def test_container_with_dictionary_roundtrip():
     decode_stream(buf, out)
     assert out.getvalue() == data.tobytes()
     assert csize < data.size
+
+
+def test_native_matches_python():
+    """The native substitution loops (csrc/native.c) must produce output
+    byte-identical to the Python executable spec, both directions, across
+    content classes (incl. capitalized words, literal lead/cap bytes, long
+    alpha runs, and block-boundary tails)."""
+    from comprox_tpu.utils.native import get_lib
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(11)
+    base = text_corpus(40000).tobytes()
+    extra = (
+        b" The quick Brown fox THE the ThE "
+        b"supercalifragilisticexpialidocious" * 20
+        + bytes(rng.integers(0, 256, 2000, dtype=np.uint8))
+    )
+    data = np.frombuffer(base + extra, np.uint8).copy()
+    # the random tail covers ~all byte values (no free 1-byte codes) and
+    # the input is below BIG_INPUT — force the 2-byte code space open so
+    # the native loops see leads, escapes, and cap codes
+    d = dic.build_dictionary(data, max_words2=4096)
+    assert d is not None and len(d.words2) > 0
+    for blk in (data, data[:777], data[-3001:]):
+        enc_c = dic.dict_encode(blk, d)
+        enc_py = dic._dict_encode_py(blk, d)
+        np.testing.assert_array_equal(enc_c, enc_py)
+        dec_c = dic.dict_decode(enc_c, d)
+        dec_py = dic._dict_decode_py(enc_c, d)
+        np.testing.assert_array_equal(dec_c, dec_py)
+        np.testing.assert_array_equal(dec_c, blk)
