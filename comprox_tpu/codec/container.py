@@ -38,6 +38,7 @@ rANS drain invariant, so single-bit corruption anywhere raises ValueError.
 
 from __future__ import annotations
 
+import itertools
 import struct
 import zlib
 from dataclasses import dataclass
@@ -172,9 +173,12 @@ def encode_stream(
         dst.write(struct.pack("<II", len(blob), crc) + blob)
         written += 8 + len(blob)
 
-    # stage 1: host-side transforms per block (filters, dictionary)
-    staged = []  # (raw_blk, blk_to_code, prefix, bflags)
-    for raw_blk in iter_blocks(src, cp.block.capacity):
+    # Blocks stream through in bounded groups (device-count-sized on a
+    # mesh): stage -> code -> write, then the group's memory is released.
+    # The reference buffers one block at a time (src/main.c:160-205); we
+    # keep whole-archive memory bounded the same way so enwik9-class
+    # inputs never hold every block's [T, n_slots, S] event grid at once.
+    def stage(raw_blk):
         blk = raw_blk
         bflags = 0
         prefix = b""
@@ -192,51 +196,60 @@ def encode_stream(
                 blk = sub
                 prefix += struct.pack("<I", sub.size)
                 bflags |= BF_DICT
-        staged.append((raw_blk, blk, prefix, bflags))
+        return raw_blk, blk, prefix, bflags
 
-    # stage 2: device coding — sequential or mesh-grouped
-    if precomp_only:
-        for raw_blk, blk, prefix, bflags in staged:
-            body = prefix + blk.tobytes()
-            dst.write(
-                struct.pack(
-                    BLKHDR, raw_blk.size, len(body), bflags | BF_STORED,
-                    zlib.crc32(body) & 0xFFFFFFFF,
-                )
-            )
-            dst.write(body)
-            written += BLKHDR_LEN + len(body)
-        dst.write(struct.pack(BLKHDR, 0, 0, 0, 0))
-        return written + BLKHDR_LEN
-    if encode_fn is not None:
-        payloads = [encode_fn(blk) for _, blk, _, _ in staged]
-    elif mesh is not None:
-        from comprox_tpu.parallel.mesh import encode_blocks_list
-
-        payloads = encode_blocks_list(
-            [blk for _, blk, _, _ in staged], cp.block, mesh
-        )
-    else:
-        payloads = [encode_block(blk, cp.block) for _, blk, _, _ in staged]
-
-    # stage 3: ordered write with stored fallback
     total = src.size
     done = 0
-    for (raw_blk, blk, prefix, bflags), coded in zip(staged, payloads):
-        payload = prefix + coded
-        if len(payload) >= raw_blk.size:  # stored fallback, raw unfiltered
-            payload, bflags = raw_blk.tobytes(), BF_STORED
-        dst.write(
-            struct.pack(
-                BLKHDR, raw_blk.size, len(payload), bflags,
-                zlib.crc32(payload) & 0xFFFFFFFF,
+    if mesh is not None:
+        group_n = int(mesh.devices.size)
+        from comprox_tpu.parallel.mesh import encode_blocks_list
+    else:
+        group_n = 1
+    blocks_it = iter_blocks(src, cp.block.capacity)
+    while True:
+        staged = [
+            stage(raw)
+            for raw in itertools.islice(blocks_it, group_n)
+        ]
+        if not staged:
+            break
+        if precomp_only:
+            for raw_blk, blk, prefix, bflags in staged:
+                body = prefix + blk.tobytes()
+                dst.write(
+                    struct.pack(
+                        BLKHDR, raw_blk.size, len(body), bflags | BF_STORED,
+                        zlib.crc32(body) & 0xFFFFFFFF,
+                    )
+                )
+                dst.write(body)
+                written += BLKHDR_LEN + len(body)
+            continue
+        if encode_fn is not None:
+            payloads = [encode_fn(blk) for _, blk, _, _ in staged]
+        elif mesh is not None:
+            payloads = encode_blocks_list(
+                [blk for _, blk, _, _ in staged], cp.block, mesh
             )
-        )
-        dst.write(payload)
-        written += BLKHDR_LEN + len(payload)
-        done += raw_blk.size
-        if progress:
-            progress(done, total)
+        else:
+            payloads = [
+                encode_block(blk, cp.block) for _, blk, _, _ in staged
+            ]
+        for (raw_blk, blk, prefix, bflags), coded in zip(staged, payloads):
+            payload = prefix + coded
+            if len(payload) >= raw_blk.size:  # stored fallback, raw bytes
+                payload, bflags = raw_blk.tobytes(), BF_STORED
+            dst.write(
+                struct.pack(
+                    BLKHDR, raw_blk.size, len(payload), bflags,
+                    zlib.crc32(payload) & 0xFFFFFFFF,
+                )
+            )
+            dst.write(payload)
+            written += BLKHDR_LEN + len(payload)
+            done += raw_blk.size
+            if progress:
+                progress(done, total)
     dst.write(struct.pack(BLKHDR, 0, 0, 0, 0))
     return written + BLKHDR_LEN
 
@@ -360,16 +373,24 @@ def _make_mesh_decode_fn(src, cp: ContainerParams, mesh):
     src.seek(start)
     if not jobs:
         return None
-    outs = decode_blocks(
-        [p for p, _ in jobs], [n for _, n in jobs], cp.block, mesh
-    )
-    # decode_blocks concatenates; re-split by per-job lengths
-    results = []
-    off = 0
-    for _, n in jobs:
-        results.append(outs[off : off + n])
-        off += n
-    it = iter(results)
+
+    # Lazy windowed decode: groups of device-count blocks go to the mesh as
+    # the caller consumes results, so whole-archive output and per-block
+    # device state are never live at once (bounded memory at enwik9 scale).
+    ndev = int(mesh.devices.size)
+
+    def results():
+        for g in range(0, len(jobs), ndev):
+            grp = jobs[g : g + ndev]
+            outs = decode_blocks(
+                [p for p, _ in grp], [n for _, n in grp], cp.block, mesh
+            )
+            off = 0
+            for _, n in grp:
+                yield outs[off : off + n]
+                off += n
+
+    it = results()
 
     def decode_fn(payload, n):
         out = next(it)
