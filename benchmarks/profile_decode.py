@@ -77,8 +77,43 @@ def main():
             cnt[name] += 1
     total = sum(agg.values())
     print(f"\ntop device ops (of {total/1e3:.1f} ms aggregated):")
-    for name, dur in agg.most_common(25):
+    top = agg.most_common(25)
+    for name, dur in top:
         print(f"  {dur/1e3:9.2f} ms  x{cnt[name]:<6} {name[:90]}")
+
+    # map fusion names to source lines via compiled HLO metadata
+    import jax.numpy as jnp
+
+    from comprox_tpu.codec.block import _decode_scan
+    from comprox_tpu.ops.rans_scalar import RANS_L
+
+    states = jnp.full((p.lanes,), RANS_L, jnp.uint32)
+    stream = jnp.zeros((p.stream_pad,), jnp.uint16)
+    hlo = (
+        jax.jit(_decode_scan, static_argnums=(0,))
+        .lower(p, states, stream, jnp.int32(n))
+        .compile()
+        .as_text()
+    )
+    import re
+
+    wanted = {name.split("/")[-1] for name, _ in top[:12]}
+    print("\nsource attribution:")
+    for m in re.finditer(r"^\s*%?([\w.\-]+)\s*=.*?metadata=\{([^}]*)\}",
+                         hlo, re.M):
+        opname, meta = m.group(1), m.group(2)
+        if opname.rstrip(".0123456789") not in {
+            w.rstrip(".0123456789") for w in wanted
+        }:
+            continue
+        if opname not in wanted and opname.split(".")[0] not in wanted:
+            continue
+        f = re.search(r'source_file="([^"]*)"', meta)
+        ln = re.search(r"source_line=(\d+)", meta)
+        op = re.search(r'op_name="([^"]*)"', meta)
+        print(f"  {opname}: {f.group(1).split('/')[-1] if f else '?'}:"
+              f"{ln.group(1) if ln else '?'}  {op.group(1)[:80] if op else ''}")
+        wanted.discard(opname)
 
 
 if __name__ == "__main__":

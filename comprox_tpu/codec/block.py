@@ -84,6 +84,11 @@ class BlockParams:
     rolz_ctx_bytes: int = 3  # context bytes keying a bucket (the reference
     # switches 3 -> 4 for blocks >= 4MiB: rolzmain/cr-matcher.c:38-42,
     # set at cr-coder.c:162).  Format-relevant: rides the container header
+    rolz_dec: int = 1  # ROLZ insert decimation: only positions with
+    # pos % rolz_dec == 0 enter the buckets (both sides replay the same
+    # rule).  1 = every position (the reference's rule); 2 halves the
+    # per-step insert scatter cost (PERF.md roadmap rev 2).  Format-
+    # relevant: rides the container header.
     short_depth: int = 0  # ROLZ secondary short-match table: per previous-
     # byte value, the D most recent positions, serving match sources as idx
     # symbols rolz_depth..rolz_depth+D-1 when the main context bucket has
@@ -120,6 +125,8 @@ class BlockParams:
             )
         if self.mode == "R" and self.short_depth not in (0, 8, 16):
             raise ValueError("short_depth must be 0, 8 or 16")
+        if self.rolz_dec not in (1, 2, 4):
+            raise ValueError("rolz_dec must be 1, 2 or 4")
         if self.mode == "R":
             from comprox_tpu.models.ppm import IDX_W
 
@@ -536,6 +543,9 @@ def _post_step(c, t, n, p: BlockParams, pos, active, byte, is_match, src,
         # [q-3, q): all of q's 4-byte prefix (bytes q..q+3 = pos-3..pos) is
         # now known on BOTH sides, so the prefix cache is exact.
         ins = active & (t >= 7 if p.rolz_ctx_bytes == 4 else t >= 6)
+        if p.rolz_dec > 1:
+            # decimated inserts (identical replay on decode: pos-driven)
+            ins = ins & (pos % p.rolz_dec == 0)
         # key bytes precede entry position q = pos-3: [q-k, q)
         rctx = rolz_hash3(_rolz_key(ctx4bn, p), p.rolz_bits)
         c = _bucket_insert(c, p, rctx, ins, pos, _byteswap32(ctx4n))
@@ -1259,19 +1269,22 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     )
     out_flat = out.reshape(-1)
 
-    # ONE scalar-start slice per step covers every word this step can
+    # ONE scalar-start slice per SLOT covers every word that slot can
     # consume (words are stream-contiguous in (step, slot, lane) order;
-    # <= 1 word per lane per slot); per-slot reads then resolve with
-    # exact one-hot matmuls instead of serialized per-lane gathers.
-    win = jax.lax.dynamic_slice(
-        stream, (base.astype(_i32),), (p.n_slots * p.lanes,)
-    )
+    # <= 1 word per lane per slot, so each slot's window is exactly S
+    # wide); the per-lane reads resolve with exact one-hot matmuls
+    # instead of serialized per-lane gathers.  Per-slot windows keep the
+    # one-hot at [S, S] instead of [S, n_slots*S] — its worst case, not
+    # the whole step's.
     step_off = jnp.uint32(0)
 
     def advance(x, off, cx, fx):
         x_tmp, need = rans.dec_advance(x, cx, fx)
-        w, off = rans.stream_window_read(win, need, off)
-        return rans.dec_renorm(x_tmp, need, w), off
+        win = jax.lax.dynamic_slice(
+            stream, ((base + off).astype(_i32),), (p.lanes,)
+        )
+        w, used = rans.stream_window_read(win, need, jnp.uint32(0))
+        return rans.dec_renorm(x_tmp, need, w), off + used
 
     # ---- A event
     tbs, rows2, rowmod, cums_a, tot_a, o2_hd = ppm.read_o2(

@@ -62,7 +62,7 @@ class ContainerParams:
     block: BlockParams = BlockParams()
 
 
-_HDR_FMT = "<BHIBBBBBBBI"  # flags + geometry + format-knobs fingerprint
+_HDR_FMT = "<BHIBBBBBBBBI"  # flags + geometry + format-knobs fingerprint
 
 
 def write_header(f: BinaryIO, cp: ContainerParams, flags: int = 0) -> None:
@@ -81,6 +81,7 @@ def write_header(f: BinaryIO, cp: ContainerParams, flags: int = 0) -> None:
         b.rolz_depth,
         b.rolz_ctx_bytes,
         b.short_depth,
+        b.rolz_dec,
         format_fingerprint(),
     )
     # header CRC: a flipped geometry bit must fail loudly, not decode with
@@ -108,7 +109,7 @@ def read_header(f: BinaryIO) -> tuple[ContainerParams, int]:
     codec = body[:1]
     (
         flags, lanes, steps, o3_bits, min_len, match, rolz_bits,
-        rolz_depth, rolz_ctx_bytes, short_depth, knobs_crc,
+        rolz_depth, rolz_ctx_bytes, short_depth, rolz_dec, knobs_crc,
     ) = struct.unpack(_HDR_FMT, body[1:])
     if knobs_crc != format_fingerprint():
         raise ValueError(
@@ -126,6 +127,7 @@ def read_header(f: BinaryIO) -> tuple[ContainerParams, int]:
         rolz_depth=rolz_depth,
         rolz_ctx_bytes=rolz_ctx_bytes,
         short_depth=short_depth,
+        rolz_dec=rolz_dec,
     )
     return ContainerParams(codec=codec, block=bp), flags
 

@@ -162,3 +162,44 @@ def test_fuzzed_payload_fails_clean(codec):
             assert out.size == 500  # decoded garbage is acceptable...
         except ValueError:
             pass  # ...and a clean rejection is the expected path
+
+
+def test_header_preserves_nondefault_format_fields():
+    """Every format-relevant BlockParams field must survive the header at a
+    NON-default value (the historical silent-corruption bug class: a field
+    left at its default in tests hides a missing header ride)."""
+    cp = ContainerParams(
+        codec=b"R",
+        block=BlockParams(lanes=16, steps=256, mode="R", min_len=6,
+                          o3_bits=13, rolz_bits=11, rolz_depth=32,
+                          rolz_ctx_bytes=4, short_depth=16, rolz_dec=2),
+    )
+    buf = io.BytesIO()
+    encode_stream(np.zeros(10, np.uint8), buf, cp, dictionary=False)
+    buf.seek(0)
+    cp2, _ = read_header(buf)
+    for f in ("lanes", "steps", "mode", "min_len", "o3_bits", "rolz_bits",
+              "rolz_depth", "rolz_ctx_bytes", "short_depth", "rolz_dec"):
+        assert getattr(cp2.block, f) == getattr(cp.block, f), f
+
+
+def test_rolz_insert_decimation_roundtrip():
+    """rolz_dec=2 halves bucket inserts; encode and decode must replay the
+    identical decimated insert sequence (format knob, PERF.md rev-2 #2)."""
+    rng = np.random.default_rng(11)
+    words = [b"the ", b"quick ", b"brown ", b"fox ", b"jumps "]
+    buf = b"".join(words[rng.integers(0, len(words))] for _ in range(2000))
+    for dec in (2, 4):
+        cp = ContainerParams(
+            codec=b"R",
+            block=BlockParams(lanes=8, steps=256, mode="R", min_len=5,
+                              o3_bits=12, rolz_bits=10, rolz_depth=16,
+                              rolz_dec=dec),
+        )
+        data = np.frombuffer(buf[: cp.block.capacity], np.uint8).copy()
+        out = io.BytesIO()
+        encode_stream(data, out, cp, dictionary=False)
+        out.seek(0)
+        dst = io.BytesIO()
+        decode_stream(out, dst)
+        assert dst.getvalue() == data.tobytes()
