@@ -150,3 +150,21 @@ def test_x_parse_decisions_causal():
     bad = (take > 0) & ((src % p.steps) >= t_grid)
     assert not bad.any(), f"{bad.sum()} non-causal parse decisions"
     roundtrip(data, p)
+
+
+@pytest.mark.slow
+def test_roundtrip_bench_geometry():
+    """Bench-class geometry (S=512 — the production lane count) with a
+    multi-100KB block per codec mode; the two historical bug classes
+    (header-field omission, silent numeric corruption) only appeared at
+    geometries the small tests never reach."""
+    rng = np.random.default_rng(17)
+    words = [b"the ", b"compression ", b"of ", b"blocks ", b"entropy ",
+             b"coding ", b"adaptive ", b"models ", b"tensor ", b"units "]
+    buf = b"".join(words[rng.integers(0, len(words))] for _ in range(80000))
+    for mode, ml in [("R", 5), ("X", 6), ("P", 4)]:
+        p = BlockParams(lanes=512, steps=512, mode=mode, min_len=ml,
+                        o3_bits=16, rolz_bits=14, rolz_depth=32)
+        roundtrip(
+            np.frombuffer(buf[: p.capacity - 7], np.uint8).copy(), p
+        )
