@@ -472,9 +472,10 @@ def _common_reads(c, t, n, p: BlockParams):
     p2 = ((ctx4 >> 8) & 0xFF).astype(_i32)
     ctx2 = (p2 << 8) | p1
     ctx3 = (ctx4 & 0xFFFFFF).astype(_i32)
-    h3 = ppm.o3_hash(ctx3, c["tables"]["o3"].shape[0])
-    pred, conf = ppm.o3_read(c["tables"], h3)
-    return lanes, pos, active, coding, copying, p1, ctx2, h3, pred, conf
+    h3 = ppm.o3_hash(ctx3, c["tables"]["o3"].size)
+    pred, conf, o3raw = ppm.o3_read(c["tables"], h3)
+    return (lanes, pos, active, coding, copying, p1, ctx2, h3, pred, conf,
+            o3raw)
 
 
 def _bucket_insert(c, p: BlockParams, rctx, ins, pos, nx4, old_rows=None):
@@ -1060,9 +1061,8 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
         t, dec_take, dec_src = xs
     else:
         t = xs
-    (lanes, pos, active, coding, copying, p1, ctx2, h3, pred, conf) = (
-        _common_reads(c, t, n, p)
-    )
+    (lanes, pos, active, coding, copying, p1, ctx2, h3, pred, conf,
+     o3raw) = _common_reads(c, t, n, p)
     # upcoming-bytes window: contiguous slice of the padded input (matches
     # never cross the chunk end, so per-lane windows need no gather)
     cur_win = jax.lax.dynamic_slice(
@@ -1179,6 +1179,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
         tbs, coding, ctx2, sym_a, byte, f_byte, p1, h3, pred, conf,
         sym_len, sym_idx, sym_dst if p.mode == "X" else None,
         o2_halve_delta=o2_hd, len_ctx=len_ctx, idx_ctx=idx_ctx,
+        o3_raw=o3raw,
     )
     c = dict(c)
     c["tables"] = tbs
@@ -1264,9 +1265,8 @@ def _encode_passes(p: BlockParams, inp, n):
 
 def _decode_body(p: BlockParams, stream, n, carry, t):
     c, x, base, out = carry
-    (lanes, pos, active, coding, copying, p1, ctx2, h3, pred, conf) = (
-        _common_reads(c, t, n, p)
-    )
+    (lanes, pos, active, coding, copying, p1, ctx2, h3, pred, conf,
+     o3raw) = _common_reads(c, t, n, p)
     out_flat = out.reshape(-1)
 
     # ONE scalar-start slice per SLOT covers every word that slot can
@@ -1425,6 +1425,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
         jnp.where(is_match, sym_l, 0), sym_idx,
         sym_dst if p.mode == "X" else None,
         o2_halve_delta=o2_hd, len_ctx=len_ctx, idx_ctx=idx_ctx,
+        o3_raw=o3raw,
     )
     c = dict(c)
     c["tables"] = tbs

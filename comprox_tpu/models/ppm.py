@@ -87,7 +87,12 @@ def init_tables(match_enabled: bool, o3_bits: int = 22) -> dict:
     return {
         "o2": tb.make_table(O2_NCTX, O2_W, o2_row),
         "o1": tb.make_table(O1_NCTX, O1_NCTX, jnp.ones((O1_NCTX,), _i32)),
-        "o3": jnp.zeros((o3_size,), _i32),  # conf<<8 | pred, init pred=0 conf=0
+        # conf<<8 | pred per hashed o3 context, init pred=0 conf=0.  Shaped
+        # [o3_size/128, 128] so reads/writes are ROW ops: the 1-D element
+        # scatter was the single largest decode step cost on TPU (46 us vs
+        # 26 us for the o2 260-wide ROW scatter — element scatters
+        # serialize, row-delta scatters vectorize; PERF.md round 2)
+        "o3": jnp.zeros((o3_size >> 7, 128), _i32),
         "len": jnp.ones((N_SHARED_CTX, LEN_W), _i32),
         "idx": jnp.ones((N_SHARED_CTX, IDX_W), _i32),
         "dst": jnp.ones((DST_W,), _i32),
@@ -100,11 +105,30 @@ def o3_hash(ctx3, o3_size: int):
 
 
 def o3_read(t, h3):
-    packed = t["o3"][h3]
-    return packed & 0xFF, packed >> 8  # (pred, conf)
+    """(pred, conf) for each lane's hashed o3 context.
+
+    Row gather + in-row one-hot select.  ``conf`` is clamped at read:
+    same-step colliding updates sum their row deltas (deterministically,
+    on both sides), which can leave a transiently out-of-range packed
+    value; the next single-lane update self-heals it (delta = desired -
+    current).
+    """
+    rows = t["o3"][h3 >> 7]  # [S, 128]
+    col = h3 & 127
+    sel = (
+        jax.lax.broadcasted_iota(_i32, rows.shape, 1) == col[:, None]
+    )
+    packed = jnp.sum(jnp.where(sel, rows, 0), axis=1)
+    # (pred, conf, raw): raw feeds the update's delta so self-heal is exact
+    return packed & 0xFF, jnp.clip(packed >> 8, 0, 15), packed
 
 
 CONF_BOOST = _env("CONF_BOOST", 0)
+
+# Bumped when table-arithmetic CODE changes alter the stream format (e.g.
+# the round-2 o3 collision rule: summed row deltas replaced winner-dedup
+# writes).  Rides format_fingerprint so old archives fail cleanly.
+FORMAT_REV = 2
 
 
 def format_fingerprint() -> int:
@@ -118,7 +142,7 @@ def format_fingerprint() -> int:
     knobs = (
         INC2, CAP2, INC1, CAP1, LEN_INC, LEN_CAP, IDX_INC, IDX_CAP,
         DST_INC, DST_CAP, DST_W, N_SHARED_CTX, IDX_W, LEN_W, O2_W,
-        CONF_BOOST,
+        CONF_BOOST, FORMAT_REV,
     )
     return zlib.crc32(repr(knobs).encode()) & 0xFFFFFFFF
 
@@ -262,6 +286,7 @@ def apply_updates(
     o2_halve_delta=None,
     len_ctx=None,
     idx_ctx=None,
+    o3_raw=None,
 ):
     """All model updates for one step, after the events are coded.
 
@@ -357,7 +382,23 @@ def apply_updates(
         is_hit, jnp.minimum(conf + 1, 15), jnp.maximum(nc, 1)
     )
     packed = (new_conf << 8) | new_pred
+    # Winner-dedup (same-context lanes are common on text; summed deltas
+    # measured -2.7% ratio on crx) + ROW-delta scatter-add: the winner
+    # lane's delta = desired - current replays a sequential write exactly,
+    # while the ROW-shaped add avoids the 1-D element scatter that was the
+    # single largest decode step cost (46 us; PERF.md round 2).
     winners = tb.elect_winners(h3, o3_upd)
-    safe_h = jnp.where(winners, h3, t["o3"].shape[0])
-    t["o3"] = t["o3"].at[safe_h].set(packed, mode="drop")
+    # raw stored value makes the delta an exact set; callers without it
+    # fall back to the reconstructed clamp (identical unless garbage)
+    old_row_val = o3_raw if o3_raw is not None else ((conf << 8) | pred)
+    col = h3 & 127
+    sel = (
+        jax.lax.broadcasted_iota(_i32, (ctx2.shape[0], 128), 1)
+        == col[:, None]
+    )
+    delta = jnp.where(
+        sel & winners[:, None], (packed - old_row_val)[:, None], 0
+    )
+    safe_r = jnp.where(winners, h3 >> 7, t["o3"].shape[0])
+    t["o3"] = t["o3"].at[safe_r].add(delta, mode="drop")
     return t
