@@ -72,6 +72,7 @@ def main() -> None:
         mode="R",
         min_len=5,
         rolz_ctx_bytes=4 if block_mb >= 4 else 3,
+        rolz_dec=2,  # measured ratio-positive AND cheaper (PERF.md round 2)
     )
     cp = ContainerParams(codec=b"R", block=bp)
     data = build_corpus(int(corpus_mb * 1048576))
