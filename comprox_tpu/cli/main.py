@@ -12,6 +12,8 @@ binaries from one core, Makefile:14-27):
     python -m comprox_tpu.cli.main  crp ...   # LZP codec   (~comprop)
     python -m comprox_tpu.cli.main  crx ...   # LZ77 codec  (~comprox)
     python -m comprox_tpu.cli.main  crz ...   # ROLZ codec  (~comprolz)
+    python -m comprox_tpu.cli.main  crf ...   # fast static-table codec
+                                              # (TPU-native; no ref analogue)
 """
 
 from __future__ import annotations
@@ -44,7 +46,7 @@ switches:
          cheap backward scan).  -f0 falls back to greedy+lazy parsing.
 """
 
-CODEC_BYTE = {"crp": b"P", "crx": b"X", "crz": b"R"}
+CODEC_BYTE = {"crp": b"P", "crx": b"X", "crz": b"R", "crf": b"F"}
 
 
 def parse_args(argv):
@@ -83,8 +85,8 @@ def parse_args(argv):
 def make_params(codec_name: str, opts) -> ContainerParams:
     lanes = opts["lanes"]
     cap = int(opts["block_mb"] * 1048576)
-    mode = {"crz": "R", "crx": "X"}.get(codec_name, "P")
-    if mode == "X":
+    mode = {"crz": "R", "crx": "X", "crf": "F"}.get(codec_name, "P")
+    if mode in ("X", "F"):
         # distance code space caps 'X' blocks at 16 MiB (block.py); the
         # reference likewise fixes cr_split_size at 16 MiB (src/main.c:62)
         cap = min(cap, 1 << 24)
@@ -98,7 +100,7 @@ def make_params(codec_name: str, opts) -> ContainerParams:
         # = 6 (roxmain cr-matcher.c:35) — the price-DP parse only accepts
         # short near matches when they out-earn literals, so the format
         # floor can sit at the reference's short-match minimum
-        min_len={"P": 4, "R": 5, "X": 6}[mode],
+        min_len={"P": 4, "R": 5, "X": 6, "F": 6}[mode],
         window=opts.get("window", 250),
         top_k=max(1, min(8, round(opts.get("depth", 40) / 10))),
         flexible=opts.get("flexible", True),

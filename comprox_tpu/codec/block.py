@@ -134,7 +134,7 @@ class BlockParams:
                 raise ValueError(
                     f"rolz_depth + short_depth must be <= {IDX_W}"
                 )
-        if self.mode == "X" and self.lanes * self.steps > (1 << 24):
+        if self.mode in ("X", "F") and self.lanes * self.steps > (1 << 24):
             # distance code space: buckets 0..23 cover dist < 2^24 and the
             # mantissa events carry at most 24 bits; a larger block would
             # alias dist >= 2^24 onto SYM_DST_REPEAT and encode archives
@@ -166,8 +166,10 @@ class BlockParams:
 
     @property
     def n_slots(self) -> int:
-        # A, B, C (+ D/E distance extra-bit events in LZ77 mode)
-        return 5 if self.mode == "X" else 3
+        # A, B, C (+ D/E distance extra-bit events in LZ77 mode); the
+        # static-table fast profile ('F') folds the dist bucket into A:
+        # A, len, dist-hi, dist-lo
+        return 5 if self.mode == "X" else 4 if self.mode == "F" else 3
 
     @property
     def stream_pad_max(self) -> int:

@@ -119,7 +119,7 @@ def read_header(f: BinaryIO) -> tuple[ContainerParams, int]:
     bp = BlockParams(
         lanes=lanes,
         steps=steps,
-        mode={b"R": "R", b"X": "X"}.get(codec, "P"),
+        mode={b"R": "R", b"X": "X", b"F": "F"}.get(codec, "P"),
         match=bool(match),
         min_len=min_len,
         o3_bits=o3_bits,
@@ -130,6 +130,24 @@ def read_header(f: BinaryIO) -> tuple[ContainerParams, int]:
         rolz_dec=rolz_dec,
     )
     return ContainerParams(codec=codec, block=bp), flags
+
+
+def _block_encoder(bp: BlockParams):
+    """Per-mode block encoder (the static-table fast profile has its own
+    passes; see codec/fast.py)."""
+    if bp.mode == "F":
+        from comprox_tpu.codec.fast import encode_block_fast
+
+        return lambda blk: encode_block_fast(blk, bp)
+    return lambda blk: encode_block(blk, bp)
+
+
+def _block_decoder(bp: BlockParams):
+    if bp.mode == "F":
+        from comprox_tpu.codec.fast import decode_block_fast
+
+        return lambda payload, n: decode_block_fast(payload, n, bp)
+    return lambda payload, n: decode_block(payload, n, bp)
 
 
 def iter_blocks(data: np.ndarray, capacity: int) -> Iterator[np.ndarray]:
@@ -229,14 +247,13 @@ def encode_stream(
             continue
         if encode_fn is not None:
             payloads = [encode_fn(blk) for _, blk, _, _ in staged]
-        elif mesh is not None:
+        elif mesh is not None and cp.block.mode != "F":
             payloads = encode_blocks_list(
                 [blk for _, blk, _, _ in staged], cp.block, mesh
             )
         else:
-            payloads = [
-                encode_block(blk, cp.block) for _, blk, _, _ in staged
-            ]
+            enc1 = _block_encoder(cp.block)
+            payloads = [enc1(blk) for _, blk, _, _ in staged]
         for (raw_blk, blk, prefix, bflags), coded in zip(staged, payloads):
             payload = prefix + coded
             if len(payload) >= raw_blk.size:  # stored fallback, raw bytes
@@ -278,12 +295,10 @@ def decode_stream(
         if zlib.crc32(blob) & 0xFFFFFFFF != crc:
             raise ValueError("corrupt archive: dictionary blob CRC mismatch")
         wd = dic.unpack_dict(blob)
-    if mesh is not None and decode_fn is None:
+    if mesh is not None and decode_fn is None and cp.block.mode != "F":
         # prescan must start at the first block header (after the dict blob)
         decode_fn = _make_mesh_decode_fn(src, cp, mesh)
-    decode_fn = decode_fn or (
-        lambda payload, n: decode_block(payload, n, cp.block)
-    )
+    decode_fn = decode_fn or _block_decoder(cp.block)
     total = 0
     while True:
         hdr = src.read(BLKHDR_LEN)
