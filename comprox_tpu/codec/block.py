@@ -211,6 +211,17 @@ def x_hash4(nx4, bits: int):
     return ((v >> (32 - bits)) & _u32((1 << bits) - 1)).astype(_i32)
 
 
+def _sel_along(arr, idx):
+    """arr[i, idx[i]] via one-hot where-sum (take_along_axis lowers to a
+    ~5 us serialized gather fusion per call inside scan bodies; the masked
+    reduce is fused VPU work — profile r2)."""
+    sel = (
+        jax.lax.broadcasted_iota(_i32, arr.shape, arr.ndim - 1)
+        == idx[..., None]
+    )
+    return jnp.sum(jnp.where(sel, arr, 0), axis=-1)
+
+
 def _dist_bucket(dist):
     """k = bit_length(dist) - 1 via integer compares (exact, no floats)."""
     k = jnp.zeros_like(dist)
@@ -673,18 +684,18 @@ def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_w32, cur_win,
     lens, srcs, recs = [], [], []
     for k in range(k_top):
         sl = top_slots[:, k]
-        src_k = jnp.take_along_axis(cand_pos, sl[:, None], 1)[:, 0] - 1
-        sc_k = jnp.take_along_axis(score, sl[:, None], 1)[:, 0]
+        src_k = _sel_along(cand_pos, sl) - 1
+        sc_k = _sel_along(score, sl)
         cand = _gather_windows(inp_w32, src_k, p.probe)
         len_k = _prefix_len(cur_win[:, : p.probe], cand)
         lens.append(jnp.where(sc_k == 4, len_k, 0))
         srcs.append(src_k)
-        recs.append(jnp.take_along_axis(rec, sl[:, None], 1)[:, 0])
+        recs.append(_sel_along(rec, sl))
     lens_m = jnp.stack(lens, 1)
     pick = jnp.argmax(lens_m, axis=1)  # tie -> more recent (earlier col)
-    length = jnp.take_along_axis(lens_m, pick[:, None], 1)[:, 0]
-    src = jnp.take_along_axis(jnp.stack(srcs, 1), pick[:, None], 1)[:, 0]
-    sym_idx = jnp.take_along_axis(jnp.stack(recs, 1), pick[:, None], 1)[:, 0]
+    length = _sel_along(lens_m, pick)
+    src = _sel_along(jnp.stack(srcs, 1), pick)
+    sym_idx = _sel_along(jnp.stack(recs, 1), pick)
     if not probe_only:
         # phase 2: full-window extension of the winner only
         wlen = p.window
@@ -714,22 +725,18 @@ def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_w32, cur_win,
         lens_s, srcs_s, recs_s = [], [], []
         for k in range(2):
             sl = stop[:, k]
-            src_k = jnp.take_along_axis(s_pos, sl[:, None], 1)[:, 0] - 1
-            sc_k = jnp.take_along_axis(sscore, sl[:, None], 1)[:, 0]
+            src_k = _sel_along(s_pos, sl) - 1
+            sc_k = _sel_along(sscore, sl)
             cand = _gather_windows(inp_w32, src_k, p.probe)
             len_k = _prefix_len(cur_win[:, : p.probe], cand)
             lens_s.append(jnp.where(sc_k == 4, len_k, 0))
             srcs_s.append(src_k)
-            recs_s.append(jnp.take_along_axis(srec, sl[:, None], 1)[:, 0])
+            recs_s.append(_sel_along(srec, sl))
         lens_m = jnp.stack(lens_s, 1)
         pick_s = jnp.argmax(lens_m, axis=1)
-        s_len = jnp.take_along_axis(lens_m, pick_s[:, None], 1)[:, 0]
-        s_src = jnp.take_along_axis(
-            jnp.stack(srcs_s, 1), pick_s[:, None], 1
-        )[:, 0]
-        s_rec = jnp.take_along_axis(
-            jnp.stack(recs_s, 1), pick_s[:, None], 1
-        )[:, 0]
+        s_len = _sel_along(lens_m, pick_s)
+        s_src = _sel_along(jnp.stack(srcs_s, 1), pick_s)
+        s_rec = _sel_along(jnp.stack(recs_s, 1), pick_s)
         cand = _gather_windows(inp_w32, s_src, p.window)
         s_full = _prefix_len(cur_win[:, : p.window], cand)
         s_len = jnp.where(s_len >= p.probe, s_full, s_len)
@@ -1110,7 +1117,15 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
     tbs, rows2, rowmod, cums_a, tot_a, o2_hd = ppm.read_o2(
         c["tables"], ctx2, pred, coding, conf
     )
-    f_byte = jnp.take_along_axis(rowmod, byte[:, None], axis=-1)[:, 0]
+    f_byte = jnp.sum(
+        jnp.where(
+            jax.lax.broadcasted_iota(_i32, rowmod.shape, 1)
+            == byte[:, None],
+            rowmod,
+            0,
+        ),
+        axis=-1,
+    )
     sym_a = jnp.where(
         do_match,
         ppm.SYM_MATCH,

@@ -138,9 +138,18 @@ def row_total(rows):
 
 
 def cum_frq_of(rows, cums, sym):
-    """(cum, frq) for a known symbol per lane."""
-    c = jnp.take_along_axis(cums, sym[..., None], axis=-1)[..., 0]
-    f = jnp.take_along_axis(rows, sym[..., None], axis=-1)[..., 0]
+    """(cum, frq) for a known symbol per lane.
+
+    One-hot where-sum instead of take_along_axis: per-lane element
+    selects lower to ~5.4 us gather fusions in a scan body (6 of them
+    cost ~12% of a decode step, profile r2); the masked reduce is pure
+    VPU work that fuses."""
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
+        == sym[..., None]
+    )
+    c = jnp.sum(jnp.where(sel, cums, 0), axis=-1)
+    f = jnp.sum(jnp.where(sel, rows, 0), axis=-1)
     return c, f
 
 
