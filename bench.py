@@ -40,6 +40,22 @@ def build_corpus(n_bytes: int) -> np.ndarray:
         if total >= n_bytes:
             break
     if total < n_bytes:
+        # enwik-class sizes (>8.6 MiB of docs available): extend with
+        # Python sources, deterministic sorted order — same text+markup
+        # content class at 100 MB scale
+        for root in ("/opt/venv/lib", "/usr/lib/python3.11"):
+            if total >= n_bytes:
+                break
+            for path in sorted(Path(root).rglob("*.py")):
+                try:
+                    b = path.read_bytes()
+                except OSError:
+                    continue
+                chunks.append(b)
+                total += len(b)
+                if total >= n_bytes:
+                    break
+    if total < n_bytes:
         rng = np.random.default_rng(42)
         words = [b"the ", b"compression ", b"of ", b"data ", b"blocks ",
                  b"with ", b"adaptive ", b"models ", b"and ", b"entropy ",

@@ -211,6 +211,21 @@ def x_hash4(nx4, bits: int):
     return ((v >> (32 - bits)) & _u32((1 << bits) - 1)).astype(_i32)
 
 
+def x_hash8(nx4, fol4, bits: int):
+    """8 content bytes -> LZ77 bucket.  The reference keys its main chain
+    on hash2 over match_min ~ 10 bytes (roxmain/cr-matcher.c:43-51,
+    cr-coder.c:192); keying on 4 bytes funnels every occurrence of a
+    common 4-gram through one recency bucket, which lock-step lane inserts
+    churn instantly (measured: 4x fewer candidate positions than the
+    context-keyed 'R' search on doc text).  8 bytes spreads common
+    prefixes by their continuation; the 6-byte xshort cache serves the
+    short/near matches this key no longer sees."""
+    v = nx4.astype(_u32) * _u32(0x9E3779B1) ^ fol4.astype(_u32) * _u32(
+        2654435761
+    )
+    return ((v >> (32 - bits)) & _u32((1 << bits) - 1)).astype(_i32)
+
+
 def _sel_along(arr, idx):
     """arr[i, idx[i]] via one-hot where-sum (take_along_axis lowers to a
     ~5 us serialized gather fusion per call inside scan bodies; the masked
@@ -485,14 +500,29 @@ def _common_reads(c, t, n, p: BlockParams):
     p2 = ((ctx4 >> 8) & 0xFF).astype(_i32)
     ctx2 = (p2 << 8) | p1
     ctx3 = (ctx4 & 0xFFFFFF).astype(_i32)
-    h3 = ppm.o3_hash(ctx3, c["tables"]["o3"].size)
-    pred, conf, o3raw = ppm.o3_read(c["tables"], h3)
+    o3_size = c["tables"]["o3"].size
+    if ppm.O3_GROUPS > 1:
+        # Partition the o3 table into lane groups (contiguous lanes =
+        # contiguous file regions): the replace-style predictor is
+        # locality-sensitive, and 256 interleaved prefixes overwriting one
+        # shared entry cost ~11% of the reference's hit rate (measured vs
+        # the cr-ppm.c probe on identical input).  Counts-based o2/o1
+        # stay shared: additive stats merge gracefully.
+        seg = o3_size // ppm.O3_GROUPS
+        grp = lanes // max(1, p.lanes // ppm.O3_GROUPS)
+        h3 = ppm.o3_hash(ctx3, seg) + jnp.minimum(
+            grp, ppm.O3_GROUPS - 1
+        ) * seg
+    else:
+        h3 = ppm.o3_hash(ctx3, o3_size)
+    pred, conf, pred2, conf2, o3raw = ppm.o3_read(c["tables"], h3)
     return (lanes, pos, active, coding, copying, p1, ctx2, h3, pred, conf,
-            o3raw)
+            pred2, conf2, o3raw)
 
 
-def _bucket_insert(c, p: BlockParams, rctx, ins, pos, nx4, old_rows=None):
-    """Insert (q+1, prefix) for q = pos-3, replacing each bucket's OLDEST
+def _bucket_insert(c, p: BlockParams, rctx, ins, pos, nx4, old_rows=None,
+                   late: int = 3):
+    """Insert (q+1, prefix) for q = pos-late, replacing each bucket's OLDEST
     entry (min position; empties hold 0 and are consumed first) — bit-
     identical to a circular write pointer because positions strictly
     increase with time, without the pointer's gather+scatter.  Multiple
@@ -507,7 +537,7 @@ def _bucket_insert(c, p: BlockParams, rctx, ins, pos, nx4, old_rows=None):
     slot_ids = jax.lax.broadcasted_iota(_i32, age.shape, 1)
     slot = jnp.sum(jnp.where(age == rank[:, None], slot_ids, 0), axis=1)
     safe_r = jnp.where(ins, rctx, 1 << p.rolz_bits)
-    q = pos - 3
+    q = pos - late
     ent = jnp.stack([q + 1, nx4.astype(_i32)], axis=-1)  # [S, 2]
     # ROW-delta scatter-add with 1D bucket indices, NOT a (bucket, slot)
     # 2D-index set: the 2D scatter makes XLA pick a different layout for
@@ -546,12 +576,14 @@ def _post_step(c, t, n, p: BlockParams, pos, active, byte, is_match, src,
     if p.mode == "X" and dist is not None:
         c["prev_dist"] = jnp.where(is_match, dist, c["prev_dist"])
     if p.mode == "X" and enc_side:
-        # entry for q = pos-3 keyed by its own 4 content bytes (known on
-        # both... only the encoder needs it: distances are explicit)
-        ins = active & (t >= 6)
-        nx4 = _byteswap32(ctx4n)
-        rctx = x_hash4(nx4, p.rolz_bits)
-        c = _bucket_insert(c, p, rctx, ins, pos, nx4)
+        # entry for q = pos-7 keyed by its own 8 content bytes (bytes
+        # q..q+3 = byteswap(ctx4b), q+4..q+7 = byteswap(ctx4), all known;
+        # only the encoder needs the table: distances are explicit).
+        # Inserted 7 late -> causal for free (q % T = t-7 < t).
+        ins = active & (t >= 10)
+        nx4q = _byteswap32(ctx4bn)
+        rctx = x_hash8(nx4q, _byteswap32(ctx4n), p.rolz_bits)
+        c = _bucket_insert(c, p, rctx, ins, pos, nx4q, late=7)
     elif p.mode == "R":
         # Insert the entry for position q = pos-3 under context bytes
         # [q-3, q): all of q's 4-byte prefix (bytes q..q+3 = pos-3..pos) is
@@ -658,10 +690,13 @@ def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_w32, cur_win,
     ``x_keyed`` buckets by the upcoming 4 content bytes (LZ77 'X' mode)
     instead of the preceding 3-byte context (ROLZ 'R' mode).
     Returns (length, src, recency-index)."""
-    nx = cur_win[:, :4].astype(_u32)
+    nx = cur_win[:, :8].astype(_u32)
     own_nx4 = nx[:, 0] | (nx[:, 1] << 8) | (nx[:, 2] << 16) | (nx[:, 3] << 24)
     if x_keyed:
-        rctx = x_hash4(own_nx4, p.rolz_bits)
+        own_fol4 = (
+            nx[:, 4] | (nx[:, 5] << 8) | (nx[:, 6] << 16) | (nx[:, 7] << 24)
+        )
+        rctx = x_hash8(own_nx4, own_fol4, p.rolz_bits)
     else:
         ctx4 = c["ctx4"] if ctx4_override is None else ctx4_override
         rctx = rolz_hash3(_rolz_key(ctx4, p), p.rolz_bits)
@@ -1071,7 +1106,8 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
     else:
         t = xs
     (lanes, pos, active, coding, copying, p1, ctx2, h3, pred, conf,
-     o3raw) = _common_reads(c, t, n, p)
+     pred2, conf2, o3raw) = _common_reads(c, t, n, p)
+    valid2 = conf2 > 0
     # upcoming-bytes window: contiguous slice of the padded input (matches
     # never cross the chunk end, so per-lane windows need no gather)
     cur_win = jax.lax.dynamic_slice(
@@ -1115,7 +1151,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
 
     # ---- A event
     tbs, rows2, rowmod, cums_a, tot_a, o2_hd = ppm.read_o2(
-        c["tables"], ctx2, pred, coding, conf
+        c["tables"], ctx2, pred, coding, conf, pred2, valid2
     )
     f_byte = jnp.sum(
         jnp.where(
@@ -1126,14 +1162,15 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
         ),
         axis=-1,
     )
+    sym_lit_or_esc = jnp.where(f_byte > 0, byte, ppm.SYM_ESC)
+    if ppm.O3_2WAY == 1:
+        sym_lit_or_esc = jnp.where(
+            valid2 & (byte == pred2), ppm.SYM_HIT2, sym_lit_or_esc
+        )
     sym_a = jnp.where(
         do_match,
         ppm.SYM_MATCH,
-        jnp.where(
-            byte == pred,
-            ppm.SYM_HIT,
-            jnp.where(f_byte > 0, byte, ppm.SYM_ESC),
-        ),
+        jnp.where(byte == pred, ppm.SYM_HIT, sym_lit_or_esc),
     )
     ca_raw, fa_raw = tb.cum_frq_of(rowmod, cums_a, sym_a)
     ca, fa = rans.norm_cf(
@@ -1146,7 +1183,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
 
     # ---- B event: escaped literal (o1) or ROLZ bucket index
     tbs, rows1, wmod, cums1, tot1 = ppm.read_o1_excl(
-        tbs, p1, rows2, pred, is_esc
+        tbs, p1, rows2, pred, is_esc, pred2, valid2
     )
     c1_raw, f1_raw = tb.cum_frq_of(wmod, cums1, byte)
     sym_dst = jnp.zeros((p.lanes,), _i32)
@@ -1196,7 +1233,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
         tbs, coding, ctx2, sym_a, byte, f_byte, p1, h3, pred, conf,
         sym_len, sym_idx, sym_dst if p.mode == "X" else None,
         o2_halve_delta=o2_hd, len_ctx=len_ctx, idx_ctx=idx_ctx,
-        o3_raw=o3raw,
+        o3_raw=o3raw, pred2=pred2, conf2=conf2,
     )
     c = dict(c)
     c["tables"] = tbs
@@ -1283,7 +1320,8 @@ def _encode_passes(p: BlockParams, inp, n):
 def _decode_body(p: BlockParams, stream, n, carry, t):
     c, x, base, out = carry
     (lanes, pos, active, coding, copying, p1, ctx2, h3, pred, conf,
-     o3raw) = _common_reads(c, t, n, p)
+     pred2, conf2, o3raw) = _common_reads(c, t, n, p)
+    valid2 = conf2 > 0
     out_flat = out.reshape(-1)
 
     # ONE scalar-start slice per SLOT covers every word that slot can
@@ -1305,7 +1343,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
 
     # ---- A event
     tbs, rows2, rowmod, cums_a, tot_a, o2_hd = ppm.read_o2(
-        c["tables"], ctx2, pred, coding, conf
+        c["tables"], ctx2, pred, coding, conf, pred2, valid2
     )
     slot = rans.dec_slot(x)
     tgt = rans.dec_target(slot, jnp.maximum(tot_a, 1))
@@ -1317,13 +1355,14 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     x, step_off = advance(x, step_off, ca, fa)
 
     is_hit = coding & (sym_a == ppm.SYM_HIT)
+    is_hit2 = coding & (sym_a == ppm.SYM_HIT2)
     is_esc = coding & (sym_a == ppm.SYM_ESC)
     is_match = coding & (sym_a == ppm.SYM_MATCH)
     is_lit = coding & (sym_a < 256)
 
     # ---- B event: escaped literal or ROLZ index
     tbs, rows1, wmod, cums1, tot1 = ppm.read_o1_excl(
-        tbs, p1, rows2, pred, is_esc
+        tbs, p1, rows2, pred, is_esc, pred2, valid2
     )
     slot_b = rans.dec_slot(x)
     tgt1 = rans.dec_target(slot_b, jnp.maximum(tot1, 1))
@@ -1431,6 +1470,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     copied = out_flat[gsrc].astype(_i32)
     byte = jnp.where(is_lit, sym_a, 0)
     byte = jnp.where(is_hit, pred, byte)
+    byte = jnp.where(is_hit2, pred2, byte)
     byte = jnp.where(is_esc, sym1, byte)
     byte = jnp.where(is_match | copying, copied, byte)
     byte = jnp.clip(byte, 0, 255)
@@ -1442,7 +1482,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
         jnp.where(is_match, sym_l, 0), sym_idx,
         sym_dst if p.mode == "X" else None,
         o2_halve_delta=o2_hd, len_ctx=len_ctx, idx_ctx=idx_ctx,
-        o3_raw=o3raw,
+        o3_raw=o3raw, pred2=pred2, conf2=conf2,
     )
     c = dict(c)
     c["tables"] = tbs
@@ -1528,7 +1568,7 @@ def encode_block_stats(data: np.ndarray, p: BlockParams) -> dict:
             np.where(ax, 15.0 - np.log2(np.maximum(fx, 1)), 0.0).sum()
         )
     is_lit = act_a & (sym_a < 256)
-    is_hit = act_a & (sym_a == ppm.SYM_HIT)
+    is_hit = act_a & ((sym_a == ppm.SYM_HIT) | (sym_a == ppm.SYM_HIT2))
     is_esc = act_a & (sym_a == ppm.SYM_ESC)
     is_mat = act_a & (sym_a == ppm.SYM_MATCH)
     mbytes = int(mlen.sum())

@@ -41,6 +41,12 @@ O2_W = 260
 SYM_HIT = 256
 SYM_ESC = 257
 SYM_MATCH = 258
+SYM_HIT2 = 259  # secondary o3 prediction matched (2-way entry; TPU-native
+# extension: lock-step lanes interleave 256 streams through the shared o3
+# table, and the reference's 1-deep replace-style entry loses ~13% of its
+# sequential hit rate to cross-lane replacement (measured: 748k hits
+# sequential vs 654k interleaved on identical 2MiB input).  A 2-way entry
+# (primary + victim slot) recovers it: 655k+97k hits interleaved.)
 
 # --- tuning constants (ours; reference analogues noted) ---------------------
 # overridable via CPX_* env vars for ratio sweeps (read at import time)
@@ -74,13 +80,15 @@ _i32 = jnp.int32
 
 _STICKY2 = jnp.zeros((O2_W,), bool).at[SYM_HIT].set(True).at[SYM_ESC].set(
     True
-).at[SYM_MATCH].set(True)
+).at[SYM_MATCH].set(True).at[SYM_HIT2].set(True)
 
 
 def init_tables(match_enabled: bool, o3_bits: int = 22) -> dict:
     """Fresh model state for one block (per-block reset, SURVEY.md §5)."""
     o2_row = jnp.zeros((O2_W,), _i32)
     o2_row = o2_row.at[SYM_HIT].set(INC2).at[SYM_ESC].set(INC2)
+    if O3_2WAY == 1:
+        o2_row = o2_row.at[SYM_HIT2].set(INC2)
     if match_enabled:
         o2_row = o2_row.at[SYM_MATCH].set(INC2)
     o3_size = 1 << o3_bits
@@ -105,13 +113,17 @@ def o3_hash(ctx3, o3_size: int):
 
 
 def o3_read(t, h3):
-    """(pred, conf) for each lane's hashed o3 context.
+    """(pred, conf, pred2, conf2, raw) for each lane's hashed o3 context.
 
-    Row gather + in-row one-hot select.  ``conf`` is clamped at read:
+    Row gather + in-row one-hot select.  Confidences are clamped at read:
     same-step colliding updates sum their row deltas (deterministically,
     on both sides), which can leave a transiently out-of-range packed
     value; the next single-lane update self-heals it (delta = desired -
     current).
+
+    Entry layout (24 bits): conf2<<20 | pred2<<12 | conf1<<8 | pred1.
+    With O3_2WAY=0 the upper 12 bits stay zero (conf2=0 marks slot 2
+    invalid) and the layout reduces to the round-1 conf<<8|pred.
     """
     rows = t["o3"][h3 >> 7]  # [S, 128]
     col = h3 & 127
@@ -119,16 +131,20 @@ def o3_read(t, h3):
         jax.lax.broadcasted_iota(_i32, rows.shape, 1) == col[:, None]
     )
     packed = jnp.sum(jnp.where(sel, rows, 0), axis=1)
-    # (pred, conf, raw): raw feeds the update's delta so self-heal is exact
-    return packed & 0xFF, jnp.clip(packed >> 8, 0, 15), packed
+    pred = packed & 0xFF
+    conf = jnp.clip((packed >> 8) & 0xF, 0, 15)
+    pred2 = (packed >> 12) & 0xFF
+    conf2 = jnp.clip((packed >> 20) & 0xF, 0, 15)
+    return pred, conf, pred2, conf2, packed
 
 
 CONF_BOOST = _env("CONF_BOOST", 0)
 
 # Bumped when table-arithmetic CODE changes alter the stream format (e.g.
 # the round-2 o3 collision rule: summed row deltas replaced winner-dedup
-# writes).  Rides format_fingerprint so old archives fail cleanly.
-FORMAT_REV = 2
+# writes; rev 3 = 2-way o3 entries + SYM_HIT2).  Rides format_fingerprint
+# so old archives fail cleanly.
+FORMAT_REV = 3
 
 
 def format_fingerprint() -> int:
@@ -143,11 +159,76 @@ def format_fingerprint() -> int:
         INC2, CAP2, INC1, CAP1, LEN_INC, LEN_CAP, IDX_INC, IDX_CAP,
         DST_INC, DST_CAP, DST_W, N_SHARED_CTX, IDX_W, LEN_W, O2_W,
         CONF_BOOST, FORMAT_REV,
+        O2_MAXCAP, O2_EE, O3_GROUPS, O3_GROUPUPD, O3_2WAY,
     )
     return zlib.crc32(repr(knobs).encode()) & 0xFFFFFFFF
 
 
-def read_o2(t, ctx2, pred, coding, conf=None):
+# o2 rescale policy (format-relevant, fingerprinted):
+#   O2_MAXCAP > 0 adds the reference's per-symbol trigger — halve as soon
+#   as any byte freq crosses O2_MAXCAP*INC2 (cr-o2model.c:53), keeping
+#   skewed contexts adaptive instead of letting one byte pin the row until
+#   the sum cap.  O2_EE = 1 recomputes the escape slot at rescale as the
+#   PPMX estimate INC2*(1 + #bytes-at-minimum-freq) (cr-o2model.c:61-67)
+#   instead of ceil-halving it.
+O2_MAXCAP = _env("O2_MAXCAP", 0)
+O2_EE = _env("O2_EE", 0)
+# o3 table partitioning by lane group (format-relevant): see
+# codec/block.py::_common_reads for the rationale and measurements.
+# Measured NEGATIVE at every G (shared training beats locality) — keep 1.
+O3_GROUPS = _env("O3_GROUPS", 1)
+# group-aggregated o3 collision updates (format-relevant; see
+# apply_updates): 0 = winner-only (round-1 behavior).  Measured NEUTRAL
+# (colliding lanes usually propose the same byte) — keep 0.
+O3_GROUPUPD = _env("O3_GROUPUPD", 0)
+# 2-way associative o3 entries (format-relevant; see SYM_HIT2):
+#   0 = single-slot entries (round-1 / reference behavior)
+#   1 = victim slot coded as its own A symbol SYM_HIT2 — measured ratio-
+#       NEGATIVE on doc text (+0.047 bpb PPM-only: the recovered
+#       predictions code worse than the well-modeled literals they
+#       replace, hit2 is only ~5% of steps)
+#   2 = victim slot boosts its byte's literal freq at read time (no new
+#       symbol; both sides compute the same reshaped distribution) and
+#       gives an unseen predicted byte a floor so it needn't escape —
+#       ALSO measured ratio-negative at every boost shape (multiplicative
+#       K8: +0.039 bpb, additive B4/B8/B16: +0.030/+0.061/+0.117): the
+#       dilution the bonus mass adds to every other symbol (hits are 57%
+#       of events) always outweighs the victim-literal savings.  The o2
+#       model prices those bytes near-optimally already.
+# Default 0: the interleaved-lane o3 hit-rate gap vs the sequential
+# reference (667k vs 748k hits on identical input) is real but NOT
+# recoverable by 2-way entries — every scheme converts it into coded
+# events that cost more than the literals they replace.  See PERF.md.
+O3_2WAY = _env("O3_2WAY", 0)
+O3_BOOST_K = _env("O3_BOOST_K", 8)  # multiplier on pred2's literal slot
+O3_BOOST_B = _env("O3_BOOST_B", 1)  # floor (xINC2) when the slot is empty
+
+
+def _o2_rescale(rows0):
+    """Read-time o2 rescale (see tables.rescale_read for the general rule;
+    this specialization adds the reference's per-symbol trigger and PPMX
+    escape recomputation when enabled)."""
+    did = jnp.zeros(rows0.shape[:-1], bool)
+    rows = rows0
+    for _ in range(tb.HALVE_ROUNDS):
+        need = jnp.sum(rows, axis=-1) > CAP2
+        if O2_MAXCAP:
+            need = need | (
+                jnp.max(rows[..., :256], axis=-1) > O2_MAXCAP * INC2
+            )
+        did = did | need
+        halved = tb.halve_rows(rows, _STICKY2)
+        if O2_EE:
+            lit = halved[..., :256]
+            cnt = jnp.sum(
+                ((lit > 0) & (lit <= INC2)).astype(_i32), axis=-1
+            )
+            halved = halved.at[..., SYM_ESC].set(INC2 * (1 + cnt))
+        rows = jnp.where(need[..., None], halved, rows)
+    return rows, did
+
+
+def read_o2(t, ctx2, pred, coding, conf=None, pred2=None, valid2=None):
     """Gather + rescale + exclude-predicted for the A event.
 
     Returns (tables, rows, rowmod, cums, tot, halve_delta).  ``rowmod`` has
@@ -163,13 +244,32 @@ def read_o2(t, ctx2, pred, coding, conf=None):
     and nonzero slots stay >= 1, so decodability is unchanged.
     """
     rows0 = t["o2"][ctx2]
-    rows, did = tb.rescale_read(rows0, CAP2, _STICKY2)
+    rows, did = _o2_rescale(rows0)
     winners = tb.elect_winners(ctx2, did & coding)
     halve_delta = jnp.where(winners[:, None], rows - rows0, 0)
     esc = jnp.maximum(rows[:, SYM_ESC], 1)
     rows = rows.at[:, SYM_ESC].set(esc)
     slot_ids = jax.lax.broadcasted_iota(_i32, rows.shape, 1)
     rowmod = jnp.where(slot_ids == pred[:, None], 0, rows)
+    if pred2 is not None and O3_2WAY == 1:
+        # the secondary prediction's literal slot is dead weight too: a
+        # byte equal to pred2 codes as SYM_HIT2, never as a literal
+        rowmod = jnp.where(
+            (slot_ids == pred2[:, None]) & valid2[:, None], 0, rowmod
+        )
+    elif pred2 is not None and O3_2WAY == 2:
+        # mix the victim prediction into the literal distribution: scale
+        # its slot by K and floor it at B*INC2, clamped so the row total
+        # stays <= M (read-time only; both sides reshape identically)
+        sel2 = (slot_ids == pred2[:, None]) & valid2[:, None]
+        f2 = jnp.sum(jnp.where(sel2, rowmod, 0), axis=1)
+        tot0 = tb.row_total(rowmod)
+        bonus = jnp.clip(
+            f2 * (O3_BOOST_K - 1) + INC2 * O3_BOOST_B,
+            0,
+            (1 << 15) - tot0,
+        )
+        rowmod = rowmod + jnp.where(sel2, bonus[:, None], 0)
     if CONF_BOOST and conf is not None:
         shift = (
             (conf >= 4).astype(_i32)
@@ -182,7 +282,7 @@ def read_o2(t, ctx2, pred, coding, conf=None):
     return t, rows, rowmod, cums, tb.row_total(rowmod), halve_delta
 
 
-def read_o1_excl(t, p1, o2_rows, pred, esc_mask):
+def read_o1_excl(t, p1, o2_rows, pred, esc_mask, pred2=None, valid2=None):
     """Order-1 weighted distribution with o2/pred exclusion (B event of
     escape lanes).  Returns (tables', rows, wmod, cums, tot).
 
@@ -211,6 +311,10 @@ def read_o1_excl(t, p1, o2_rows, pred, esc_mask):
     w = rows * 8 - 7  # cr-ppm.c:98 M_freq_o1
     slot_ids = jax.lax.broadcasted_iota(_i32, rows.shape, 1)
     excluded = (o2_rows[:, :256] > 0) | (slot_ids == pred[:, None])
+    if pred2 is not None:
+        excluded = excluded | (
+            (slot_ids == pred2[:, None]) & valid2[:, None]
+        )
     wmod = jnp.where(excluded, 0, w)
     cums = tb.exclusive_cumsum(wmod)
     return t, rows, wmod, cums, tb.row_total(wmod)
@@ -287,6 +391,8 @@ def apply_updates(
     len_ctx=None,
     idx_ctx=None,
     o3_raw=None,
+    pred2=None,
+    conf2=None,
 ):
     """All model updates for one step, after the events are coded.
 
@@ -298,6 +404,7 @@ def apply_updates(
     """
     is_lit = coding & (sym_a < 256)
     is_hit = coding & (sym_a == SYM_HIT)
+    is_hit2 = coding & (sym_a == SYM_HIT2)
     is_esc = coding & (sym_a == SYM_ESC)
     is_match = coding & (sym_a == SYM_MATCH)
     t = dict(t)
@@ -369,19 +476,80 @@ def apply_updates(
         t["dst"] = bump(t["dst"], sym_dst, is_match, DST_INC)
 
     # --- o3 predictor: hit strengthens, miss decays/replaces ----------------
-    # (cr-ppm.c:69-88; matches don't touch o3)
-    o3_upd = is_hit | is_lit | is_esc
-    nc = (
-        (conf > 1).astype(_i32)
-        + (conf > 2).astype(_i32)
-        + (conf > 4).astype(_i32)
-        + (conf > 8).astype(_i32)
-    )
-    new_pred = jnp.where(is_hit | (nc > 0), pred, byte)
-    new_conf = jnp.where(
-        is_hit, jnp.minimum(conf + 1, 15), jnp.maximum(nc, 1)
-    )
-    packed = (new_conf << 8) | new_pred
+    # (cr-ppm.c:69-88; matches don't touch o3).  Same-step colliding
+    # contexts are GROUP-AGGREGATED: text trigram skew puts ~48% of a
+    # step's o3 updates into colliding groups (measured, 2MiB doc text),
+    # and electing one winner dropped the rest — costing ~10% of the
+    # reference's o3 hit rate (742k vs 667k hits on identical input).
+    # Canonical group semantics (deterministic, both sides replay it):
+    # all hits apply first (conf += nh), then each miss applies one decay,
+    # capped at 4 (nc^4 = 0 from any conf); if decayed to zero the
+    # MIN-LANE miss byte becomes the new prediction.  A group of one
+    # reduces exactly to the reference's per-byte rule.
+    o3_upd = is_hit | is_hit2 | is_lit | is_esc
+
+    def _nc(cf):
+        return (
+            (cf > 1).astype(_i32)
+            + (cf > 2).astype(_i32)
+            + (cf > 4).astype(_i32)
+            + (cf > 8).astype(_i32)
+        )
+
+    if O3_2WAY:
+        # 2-way entry evolution (winner-dedup write; see SYM_HIT2):
+        #   hit1: conf1 += 1 (cap 15), slot 2 untouched
+        #   hit2: promote — the victim becomes primary with conf2+1, the
+        #         demoted primary keeps a decayed confidence
+        #   miss: decay conf1; at zero the new byte takes slot 1 and the
+        #         old primary falls to slot 2 (the reference discards it,
+        #         cr-ppm.c:78-81 — keeping it is what recovers interleaved
+        #         lanes' hit rate)
+        if O3_2WAY == 2:
+            # demote-only: slot 1 evolves EXACTLY as the 1-way rule (a
+            # promotion variant measured +0.12 bits/hit on the primary
+            # symbol — churn), slot 2 just remembers the last evicted
+            # prediction for the read-time literal boost
+            is_hit2 = jnp.zeros_like(is_hit)
+        miss = (is_lit | is_esc) & ~is_hit2
+        n1 = _nc(conf)
+        p1n = jnp.where(is_hit2 | (miss & (n1 == 0)), byte, pred)
+        c1n = jnp.where(is_hit, jnp.minimum(conf + 1, 15), conf)
+        c1n = jnp.where(is_hit2, jnp.minimum(conf2 + 1, 15), c1n)
+        c1n = jnp.where(miss, jnp.maximum(n1, 1), c1n)
+        demote = is_hit2 | (miss & (n1 == 0))
+        p2n = jnp.where(demote, pred, pred2)
+        c2n = jnp.where(is_hit2, n1, jnp.where(demote, 1, conf2))
+        packed = (c2n << 20) | (p2n << 12) | (c1n << 8) | p1n
+    elif O3_GROUPUPD:
+        same = (h3[:, None] == h3[None, :]) & o3_upd[None, :]
+        nh = jnp.sum((same & is_hit[None, :]).astype(_i32), axis=1)
+        miss_j = o3_upd & ~is_hit
+        nm = jnp.sum((same & miss_j[None, :]).astype(_i32), axis=1)
+        lane_ids = jax.lax.broadcasted_iota(_i32, (s_lanes,), 0)
+        fm = jnp.min(
+            jnp.where(same & miss_j[None, :], lane_ids[None, :], s_lanes),
+            axis=1,
+        )
+        fm_oh = (
+            jax.lax.broadcasted_iota(_i32, (s_lanes, s_lanes), 1)
+            == fm[:, None]
+        )
+        fm_byte = jnp.sum(jnp.where(fm_oh, byte[None, :], 0), axis=1)
+        gconf = jnp.minimum(conf + nh, 15)
+        for k in range(4):
+            gconf = jnp.where(nm > k, _nc(gconf), gconf)
+        replaced = (nm > 0) & (gconf == 0)
+        new_pred = jnp.where(replaced, fm_byte, pred)
+        new_conf = jnp.where(replaced, 1, gconf)
+        packed = (new_conf << 8) | new_pred
+    else:
+        nc = _nc(conf)
+        new_pred = jnp.where(is_hit | (nc > 0), pred, byte)
+        new_conf = jnp.where(
+            is_hit, jnp.minimum(conf + 1, 15), jnp.maximum(nc, 1)
+        )
+        packed = (new_conf << 8) | new_pred
     # Winner-dedup (same-context lanes are common on text; summed deltas
     # measured -2.7% ratio on crx) + ROW-delta scatter-add: the winner
     # lane's delta = desired - current replays a sequential write exactly,
@@ -390,7 +558,12 @@ def apply_updates(
     winners = tb.elect_winners(h3, o3_upd)
     # raw stored value makes the delta an exact set; callers without it
     # fall back to the reconstructed clamp (identical unless garbage)
-    old_row_val = o3_raw if o3_raw is not None else ((conf << 8) | pred)
+    if o3_raw is not None:
+        old_row_val = o3_raw
+    elif O3_2WAY:
+        old_row_val = (conf2 << 20) | (pred2 << 12) | (conf << 8) | pred
+    else:
+        old_row_val = (conf << 8) | pred
     col = h3 & 127
     sel = (
         jax.lax.broadcasted_iota(_i32, (ctx2.shape[0], 128), 1)

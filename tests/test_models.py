@@ -113,7 +113,7 @@ class TestPPM:
             old_f_byte=zeros, p1=zeros, h3=h3,
             pred=zeros, conf=zeros, sym_len=zeros,
         )
-        pred, conf, _raw = ppm.o3_read(t2, h3)
+        pred, conf, _p2, _c2, _raw = ppm.o3_read(t2, h3)
         np.testing.assert_array_equal(np.asarray(pred), [65, 66])
         np.testing.assert_array_equal(np.asarray(conf), [1, 1])
         # hit -> confidence grows, pred kept
@@ -125,7 +125,7 @@ class TestPPM:
             pred=jnp.asarray([65, 66], jnp.int32),
             conf=jnp.asarray([1, 1], jnp.int32), sym_len=zeros,
         )
-        pred3, conf3, _raw3 = ppm.o3_read(t3, h3)
+        pred3, conf3, _p23, _c23, _raw3 = ppm.o3_read(t3, h3)
         np.testing.assert_array_equal(np.asarray(pred3), [65, 66])
         np.testing.assert_array_equal(np.asarray(conf3), [2, 2])
 
