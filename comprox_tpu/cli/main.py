@@ -105,8 +105,12 @@ def make_params(codec_name: str, opts) -> ContainerParams:
         top_k=max(1, min(8, round(opts.get("depth", 40) / 10))),
         flexible=opts.get("flexible", True),
         # 4-byte ROLZ contexts for large blocks (reference rule: rolzmain/
-        # cr-matcher.c:38-42; measured -2.5% bpb on 8MiB doc text)
-        rolz_ctx_bytes=4 if (mode == "R" and cap >= 4 * 1048576) else 3,
+        # cr-matcher.c:38-42; measured -2.5% bpb on 8MiB doc text).  'X'
+        # uses the same rule for its encoder-private context-keyed
+        # candidate table (distances are coded, so it is not format-
+        # relevant there)
+        rolz_ctx_bytes=4 if (mode in ("R", "X") and cap >= 4 * 1048576)
+        else 3,
         # insert decimation: measured ratio-POSITIVE at 8MiB (0.4168 vs
         # 0.4225 bpb) — halved insert pressure keeps bucket entries alive
         # longer under the recency-replacement rule — and cheaper inserts

@@ -285,6 +285,14 @@ def _init_carry(p: BlockParams, enc_side: bool, search: bool = False):
         # last position per 6-byte-hash, serving near matches the bucket
         # search misses.  Encoder-private (distances are coded).
         c["xshort"] = jnp.zeros((1 << 16,), _i32)
+        # second candidate source: CONTEXT-keyed buckets (the 'R' search
+        # structure).  Measured on doc text: content-keyed buckets see
+        # candidates at only 238k of 2M positions (exact 8-byte repeats
+        # within recency-64) while context-keyed ones see 644k ("what
+        # followed this context before").  'X' codes explicit distances,
+        # so this table is encoder-private too — decode speed unchanged.
+        nb = 1 << p.rolz_bits
+        c["xctx_ent"] = jnp.zeros((nb, p.rolz_depth, 2), _i32)
     if p.mode == "R" or (p.mode == "X" and search):
         # 'X' keeps the bucket tables encoder-private: distances are coded
         # explicitly, so the decoder never touches a match table.
@@ -521,7 +529,7 @@ def _common_reads(c, t, n, p: BlockParams):
 
 
 def _bucket_insert(c, p: BlockParams, rctx, ins, pos, nx4, old_rows=None,
-                   late: int = 3):
+                   late: int = 3, table: str = "rolz_ent"):
     """Insert (q+1, prefix) for q = pos-late, replacing each bucket's OLDEST
     entry (min position; empties hold 0 and are consumed first) — bit-
     identical to a circular write pointer because positions strictly
@@ -532,7 +540,7 @@ def _bucket_insert(c, p: BlockParams, rctx, ins, pos, nx4, old_rows=None,
     lower = jnp.tril(jnp.ones((p.lanes, p.lanes), bool), k=-1)
     rank = jnp.sum(same & lower, axis=1)
     ins = ins & (rank < p.rolz_depth)
-    old = c["rolz_ent"][rctx] if old_rows is None else old_rows
+    old = c[table][rctx] if old_rows is None else old_rows
     age = (p.rolz_depth - 1) - _recency_ranks(old[..., 0])  # oldest = 0
     slot_ids = jax.lax.broadcasted_iota(_i32, age.shape, 1)
     slot = jnp.sum(jnp.where(age == rank[:, None], slot_ids, 0), axis=1)
@@ -547,7 +555,7 @@ def _bucket_insert(c, p: BlockParams, rctx, ins, pos, nx4, old_rows=None,
     # distinct slots, so their row deltas sum correctly.
     hit = (slot_ids == slot[:, None]) & ins[:, None]  # [S, D]
     delta = jnp.where(hit[..., None], ent[:, None, :] - old, 0)
-    c["rolz_ent"] = c["rolz_ent"].at[safe_r].add(delta, mode="drop")
+    c[table] = c[table].at[safe_r].add(delta, mode="drop")
     return c
 
 
@@ -584,6 +592,14 @@ def _post_step(c, t, n, p: BlockParams, pos, active, byte, is_match, src,
         nx4q = _byteswap32(ctx4bn)
         rctx = x_hash8(nx4q, _byteswap32(ctx4n), p.rolz_bits)
         c = _bucket_insert(c, p, rctx, ins, pos, nx4q, late=7)
+        # context-keyed candidate table (see _init_carry): same insert
+        # rule as mode 'R' — entry q = pos-3 under the bytes [q-k, q)
+        ins_c = active & (t >= 7 if p.rolz_ctx_bytes == 4 else t >= 6)
+        rctx_c = rolz_hash3(_rolz_key(ctx4bn, p), p.rolz_bits)
+        c = _bucket_insert(
+            c, p, rctx_c, ins_c, pos, _byteswap32(ctx4n),
+            table="xctx_ent",
+        )
     elif p.mode == "R":
         # Insert the entry for position q = pos-3 under context bytes
         # [q-3, q): all of q's 4-byte prefix (bytes q..q+3 = pos-3..pos) is
@@ -682,7 +698,7 @@ def _prefix_len(cur_win, cand):
 
 def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_w32, cur_win,
                      x_keyed: bool = False, probe_only: bool = False,
-                     ctx4_override=None):
+                     ctx4_override=None, table: str = "rolz_ent"):
     """Encoder-side candidate search at pos: score all bucket entries by
     4-byte prefix cache, probe the top-K to p.probe bytes, fully extend only
     the winner.  ``cur_win`` is the upcoming-bytes window (a contiguous
@@ -700,7 +716,7 @@ def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_w32, cur_win,
     else:
         ctx4 = c["ctx4"] if ctx4_override is None else ctx4_override
         rctx = rolz_hash3(_rolz_key(ctx4, p), p.rolz_bits)
-    ent = c["rolz_ent"][rctx]  # [S, D, 2]
+    ent = c[table][rctx]  # [S, D, 2]
     cand_pos = ent[..., 0]
     cand_nx4 = ent[..., 1].astype(_u32)
     diff = cand_nx4 ^ own_nx4[:, None]
@@ -713,6 +729,15 @@ def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_w32, cur_win,
     rec = _recency_ranks(cand_pos)
     fill = jnp.sum((cand_pos > 0).astype(_i32), axis=1)
     score = jnp.where(cand_pos > 0, score, -1)
+    if x_keyed or table != "rolz_ent":
+        # 'X' codes explicit backward distances, but lock-step lanes make
+        # "the past" step-order, not position-order: entries from higher
+        # lanes at earlier steps are decode-causal yet sit FORWARD of pos
+        # and cannot be expressed as a distance.  Mask them BEFORE top-k,
+        # or a forward winner shadows a usable backward candidate in the
+        # same bucket (this cost the ctx-keyed search 75% of its
+        # candidates: 165k vs 664k positions, measured).
+        score = jnp.where(cand_pos - 1 < pos[:, None], score, -1)
     rank_key = score * p.rolz_depth + (p.rolz_depth - 1 - rec)
     k_top = min(p.lazy_top_k if probe_only else p.top_k, p.rolz_depth)
     _, top_slots = jax.lax.top_k(rank_key, k_top)
@@ -894,6 +919,13 @@ def _search_body(p: BlockParams, inp_pad, inp_w32, n, c, t):
         )
         ok = (src >= 0) & (src < pos) & active & (t >= 7)
         length = jnp.where(ok, length, 0)
+        # context-keyed candidate (the 'R' search over the encoder-private
+        # second table; see _init_carry) — coded as a plain distance
+        len3, src3, _, _ = _rolz_best_match(
+            c, pos, t, n, p, inp_w32, cur_win, table="xctx_ent"
+        )
+        ok3 = (src3 >= 0) & (src3 < pos) & active & (t >= 7)
+        len3 = jnp.where(ok3, len3, 0)
         # short-hash near-match candidate (cr-matcher.c:319-331): one
         # 65536-entry cache keyed by the next 6 bytes; byte-verified by
         # prefix extension, so hash collisions just yield length 0
@@ -913,7 +945,7 @@ def _search_body(p: BlockParams, inp_pad, inp_w32, n, c, t):
             .at[jnp.where(active, h6, 1 << 16)]
             .max(pos + 1, mode="drop")
         )
-        out = (length, src, len2, cand)
+        out = (length, src, len2, cand, len3, src3)
     c = _post_step(
         c, t, n, p, pos, active, byte,
         jnp.zeros((p.lanes,), bool), zero, zero, enc_side=True,
@@ -945,22 +977,26 @@ def _parse_body(p: BlockParams, n, cw, xs):
         cands = [(l1, s1, price1)]
         lit = _P_LIT_R
     else:
-        t, l1, s1, l2, s2 = xs[:5]
+        t, l1, s1, l2, s2, l3, s3 = xs[:7]
         pos = lanes * p.steps + t
         d1 = jnp.maximum(pos - s1, 1)
         d2 = jnp.maximum(pos - s2, 1)
+        d3 = jnp.maximum(pos - s3, 1)
         price1 = _P_XM + _P_XK * _dist_bucket(d1)
         price2 = _P_XM + _P_XK * _dist_bucket(d2)
-        cands = [(l1, s1, price1), (l2, s2, price2)]
-        if len(xs) > 5:
-            lrep, prev = xs[5], xs[6]
+        price3 = _P_XM + _P_XK * _dist_bucket(d3)
+        cands = [(l1, s1, price1), (l2, s2, price2), (l3, s3, price3)]
+        if len(xs) > 7:
+            lrep, prev = xs[7], xs[8]
             # normal candidates that happen to sit at the expected repeat
             # distance also get the cheap price
             price1 = jnp.where(d1 == prev, _P_XREP, price1)
             price2 = jnp.where(d2 == prev, _P_XREP, price2)
+            price3 = jnp.where(d3 == prev, _P_XREP, price3)
             cands = [
                 (l1, s1, price1),
                 (l2, s2, price2),
+                (l3, s3, price3),
                 (lrep, pos - prev, jnp.full_like(prev, _P_XREP)),
             ]
         lit = _P_LIT_X
@@ -989,8 +1025,11 @@ def _greedy_decisions(p: BlockParams, n, outs):
     if p.mode == "R":
         l1, s1 = outs[0], outs[1]
     else:
-        l1, s1, l2, s2 = outs
-        # short-cache fallback when the bucket found nothing usable
+        l1, s1, l2, s2, l3, s3 = outs
+        # longest of the two bucket sources, then short-cache fallback
+        use3 = l3 > l1
+        l1 = jnp.where(use3, l3, l1)
+        s1 = jnp.where(use3, s3, s1)
         use2 = (l1 < p.min_len) & (l2 >= p.min_len)
         l1 = jnp.where(use2, l2, l1)
         s1 = jnp.where(use2, s2, s1)
@@ -1074,7 +1113,7 @@ def _search_and_parse(p: BlockParams, inp_pad, inp_flat, inp_w32, n):
     ts = jnp.arange(p.steps, dtype=_i32)
     if p.flexible:
         xs = (ts, outs[0], outs[1], outs[2]) if p.mode == "R" else (
-            ts, outs[0], outs[1], outs[2], outs[3]
+            ts, outs[0], outs[1], outs[2], outs[3], outs[4], outs[5]
         )
         cw0 = jnp.zeros((p.lanes, p.window), _i32)
         parse = functools.partial(_parse_body, p, n)

@@ -312,8 +312,16 @@ def encode_block_fast(data: np.ndarray, p: BlockParams) -> bytes:
         np.asarray(emit_packed), axis=-1, bitorder="little"
     ).astype(bool)
     stream = np.asarray(words)[emit_np]
+    # content CRC: the adaptive codecs detect payload corruption through
+    # model-state divergence (the drain check fires), but static tables
+    # cannot self-corrupt — a flipped distance-mantissa bit decodes to a
+    # valid stream with wrong bytes.  The CRC is F's corruption detector.
+    import zlib
+
+    crc = zlib.crc32(data.tobytes()) & 0xFFFFFFFF
     return (
         np.array([stream.size], np.uint32).tobytes()
+        + np.array([crc], np.uint32).tobytes()
         + np.asarray(a_freq).astype("<u2").tobytes()
         + np.asarray(l_freq).astype("<u2").tobytes()
         + np.asarray(states).astype("<u4").tobytes()
@@ -324,11 +332,12 @@ def encode_block_fast(data: np.ndarray, p: BlockParams) -> bytes:
 def decode_block_fast(payload: bytes, n: int, p: BlockParams) -> np.ndarray:
     if n <= 0 or n > p.capacity:
         raise ValueError(f"corrupt block: bad raw size {n}")
-    need = 4 + _TAB_BYTES + 4 * p.lanes
+    need = 8 + _TAB_BYTES + 4 * p.lanes
     if len(payload) < need:
         raise ValueError("corrupt block: truncated fast-block payload")
     (n_words,) = np.frombuffer(payload[:4], "<u4")
-    off = 4
+    (crc_want,) = np.frombuffer(payload[4:8], "<u4")
+    off = 8
     a_freq = np.frombuffer(payload[off : off + 2 * W_A], "<u2").astype(
         np.int32
     )
@@ -364,4 +373,9 @@ def decode_block_fast(payload: bytes, n: int, p: BlockParams) -> np.ndarray:
             f"corrupt block: states drained={bool((x == RANS_L).all())} "
             f"words {int(base)}/{int(n_words)}"
         )
-    return np.asarray(out).reshape(-1)[:n]
+    res = np.asarray(out).reshape(-1)[:n]
+    import zlib
+
+    if (zlib.crc32(res.tobytes()) & 0xFFFFFFFF) != int(crc_want):
+        raise ValueError("corrupt block: content CRC mismatch")
+    return res
