@@ -878,8 +878,10 @@ _P_LIT_R = int(_os.environ.get("CPX_PARSE_LIT_R", "14"))
 _P_RM = int(_os.environ.get("CPX_PARSE_RM", "50"))
 _P_RI = int(_os.environ.get("CPX_PARSE_RI", "6"))  # per idx recency bucket
 _P_LIT_X = int(_os.environ.get("CPX_PARSE_LIT_X", "10"))
-_P_XM = int(_os.environ.get("CPX_PARSE_XM", "55"))
-_P_XK = int(_os.environ.get("CPX_PARSE_XK", "5"))  # per distance bucket
+_P_XM = int(_os.environ.get("CPX_PARSE_XM", "65"))
+_P_XK = int(_os.environ.get("CPX_PARSE_XK", "6"))  # per distance bucket
+# (post-dual-table sweep, 2MiB doc: 65/6 = 1.6871 bpb, 55/5 = 1.6898,
+#  75/6 = 1.6885, 45/5 = 1.6956, x/3 >= 1.7076 — shallow optimum at 65/6)
 _P_XREP = int(_os.environ.get("CPX_PARSE_XREP", "45"))  # repeat-distance
 # match: no mantissa bits, one hot SYM_DST_REPEAT symbol (the analogue of
 # the reference's last_match preference, cr-matcher.c:246-249,314-317)
