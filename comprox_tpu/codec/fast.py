@@ -287,6 +287,9 @@ def _fast_decode_scan(p: BlockParams, a_freq, l_freq, states, stream, n):
     body = functools.partial(
         _fast_decode_body, p, stream, (a_freq, a_cums, l_freq, l_cums), n
     )
+    # NOT unrolled: chaining 4 sub-steps per scan iteration measured
+    # SLOWER (8.3 -> 5-7 MB/s on-chip) — the enlarged body's live-value
+    # pressure outweighs the saved loop overhead.  (PERF.md round 3.)
     (_, _, _, x, base, out), _ = jax.lax.scan(
         body, carry, jnp.arange(p.steps, dtype=_i32)
     )
