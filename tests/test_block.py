@@ -149,6 +149,13 @@ def test_x_parse_decisions_causal():
     t_grid = np.arange(p.steps)[:, None]
     bad = (take > 0) & ((src % p.steps) >= t_grid)
     assert not bad.any(), f"{bad.sum()} non-causal parse decisions"
+    # Backward-source invariant: X codes dist = pos - src >= 1, so every
+    # accepted decision must point strictly backward in POSITION space
+    # too (bucket entries from higher lanes at earlier steps are
+    # step-causal but unexpressible; the searcher masks them pre-top-k).
+    pos_grid = np.arange(p.lanes)[None, :] * p.steps + t_grid
+    fwd = (take > 0) & (src >= pos_grid)
+    assert not fwd.any(), f"{fwd.sum()} forward-source parse decisions"
     roundtrip(data, p)
 
 
