@@ -6,10 +6,17 @@ the reference comprox binary's measured encode speed on this class of
 hardware-independent corpus (BASELINE.md: 16.2 MB/s on doc text, Xeon x4).
 Round trip is verified bit-exact before any number is reported.
 
+Capture-proofing (round-2 verdict #1: BENCH_r02 was an empty rc=1 after a
+transient TPU backend outage): backend bring-up failures re-exec with
+backoff up to BENCH_TRIES times, then fall back to a small CPU run, and
+EVERY exit path prints a JSON line — the driver always records a number.
+
 Env knobs:
-  BENCH_MB      corpus size in MiB          (default 8)
+  BENCH_MB      corpus size in MiB          (default 32)
   BENCH_LANES   lanes per block             (default 512)
   BENCH_BLOCK   block capacity in MiB       (default 8)
+  BENCH_GROUP   blocks vmap-batched per device scan (default 4)
+  BENCH_TRIES   backend bring-up attempts   (default 5)
 """
 
 from __future__ import annotations
@@ -68,10 +75,80 @@ def build_corpus(n_bytes: int) -> np.ndarray:
     return data.copy()
 
 
+def emit(metric: str, value: float, extra: str = "") -> None:
+    """The one JSON line the driver records; every exit path lands here."""
+    print(
+        json.dumps(
+            {
+                "metric": metric + (f" [{extra}]" if extra else ""),
+                "value": round(value, 3),
+                "unit": "MB/s",
+                "vs_baseline": round(value / REF_ENCODE_MBPS, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _reexec(extra_env: dict) -> None:
+    env = dict(os.environ)
+    env.update({k: str(v) for k, v in extra_env.items()})
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
+
+def _backend_or_fallback() -> str:
+    """Bring up the JAX backend; on failure re-exec with backoff (a failed
+    backend init is cached in-process, so retry means a fresh interpreter),
+    finally degrading to a small CPU-only run."""
+    tries = int(os.environ.get("BENCH_TRIES", "5"))
+    attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
+    try:
+        import jax
+
+        plat = jax.devices()[0].platform
+        # smoke computation: backend registration alone can succeed while
+        # the remote chip is unreachable
+        v = jax.numpy.arange(8) + 1
+        assert int(v.sum()) == 36
+        return plat
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"bench: backend bring-up failed: {e!r}\n")
+        if attempt + 1 < tries:
+            time.sleep(min(60, 15 * (attempt + 1)))
+            _reexec({"BENCH_ATTEMPT": attempt + 1})
+        if os.environ.get("JAX_PLATFORMS") != "cpu":
+            # final fallback: a degraded CPU measurement beats an empty
+            # rc=1 record
+            _reexec(
+                {
+                    "JAX_PLATFORMS": "cpu",
+                    "PALLAS_AXON_POOL_IPS": "",
+                    "BENCH_ATTEMPT": 0,
+                    "BENCH_DEGRADED": "cpu-fallback",
+                    "BENCH_MB": min(
+                        float(os.environ.get("BENCH_MB", "32")), 1.0
+                    ),
+                    "BENCH_BLOCK": 0.25,
+                    "BENCH_LANES": 256,
+                    "BENCH_GROUP": 1,
+                }
+            )
+        emit(
+            "single-chip encode throughput (BACKEND UNAVAILABLE, "
+            f"{type(e).__name__})",
+            0.0,
+        )
+        sys.exit(0)
+
+
 def main() -> None:
-    corpus_mb = float(os.environ.get("BENCH_MB", "8"))
+    corpus_mb = float(os.environ.get("BENCH_MB", "32"))
     lanes = int(os.environ.get("BENCH_LANES", "512"))
     block_mb = float(os.environ.get("BENCH_BLOCK", "8"))
+    group = int(os.environ.get("BENCH_GROUP", "4"))
+    degraded = os.environ.get("BENCH_DEGRADED", "")
+
+    plat = _backend_or_fallback()
 
     from comprox_tpu.utils.cache import enable_compilation_cache
 
@@ -93,50 +170,55 @@ def main() -> None:
     cp = ContainerParams(codec=b"R", block=bp)
     data = build_corpus(int(corpus_mb * 1048576))
 
-    # warmup: compile encode+decode (shapes depend only on the geometry,
-    # so a small slice compiles everything)
-    warm = data[: min(bp.capacity, 1 << 20)]
-    buf = io.BytesIO()
-    container.encode_stream(warm, buf, cp)
-    buf.seek(0)
-    out = io.BytesIO()
-    container.decode_stream(buf, out)
-    assert out.getvalue() == warm.tobytes(), "warmup round trip failed"
+    try:
+        # warmup: compile encode+decode at the run's exact geometry and
+        # group shape (a 1-block input pads to the same [G, S, T] batch)
+        warm = data[: min(bp.capacity, 1 << 20)]
+        buf = io.BytesIO()
+        container.encode_stream(warm, buf, cp, group=group)
+        buf.seek(0)
+        out = io.BytesIO()
+        container.decode_stream(buf, out, group=group)
+        assert out.getvalue() == warm.tobytes(), "warmup round trip failed"
 
-    # timed encode
-    t0 = time.time()
-    buf = io.BytesIO()
-    csize = container.encode_stream(data, buf, cp)
-    enc_s = time.time() - t0
+        # timed encode
+        t0 = time.time()
+        buf = io.BytesIO()
+        csize = container.encode_stream(data, buf, cp, group=group)
+        enc_s = time.time() - t0
 
-    # timed decode + verification
-    buf.seek(0)
-    out = io.BytesIO()
-    t0 = time.time()
-    container.decode_stream(buf, out)
-    dec_s = time.time() - t0
-    ok = out.getvalue() == data.tobytes()
+        # timed decode + verification
+        buf.seek(0)
+        out = io.BytesIO()
+        t0 = time.time()
+        container.decode_stream(buf, out, group=group)
+        dec_s = time.time() - t0
+        ok = out.getvalue() == data.tobytes()
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"bench: run failed: {e!r}\n")
+        if group > 1:
+            # e.g. HBM OOM on the batched path: retry unbatched
+            _reexec({"BENCH_GROUP": 1, "BENCH_DEGRADED": "group=1 retry"})
+        emit(
+            f"single-chip encode throughput (RUN FAILED, {type(e).__name__})",
+            0.0,
+            degraded,
+        )
+        sys.exit(0)
     if not ok:
-        print(json.dumps({"metric": "encode MB/s (ROUND TRIP FAILED)",
-                          "value": 0.0, "unit": "MB/s", "vs_baseline": 0.0}))
+        emit("encode MB/s (ROUND TRIP FAILED)", 0.0, degraded)
         sys.exit(1)
 
     enc_mbps = data.size / enc_s / 1e6
     dec_mbps = data.size / dec_s / 1e6
     bpb = csize * 8 / data.size
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"single-chip encode throughput, {corpus_mb:g}MiB doc-text"
-                    f" corpus, round-trip verified (decode {dec_mbps:.2f}"
-                    f" MB/s, ratio {csize / data.size:.4f}, {bpb:.3f} bpb)"
-                ),
-                "value": round(enc_mbps, 3),
-                "unit": "MB/s",
-                "vs_baseline": round(enc_mbps / REF_ENCODE_MBPS, 4),
-            }
-        )
+    emit(
+        f"single-chip encode throughput, {corpus_mb:g}MiB doc-text corpus,"
+        f" {plat}, block={block_mb:g}MiB x{group}-batched, round-trip"
+        f" verified (decode {dec_mbps:.2f} MB/s, ratio"
+        f" {csize / data.size:.4f}, {bpb:.3f} bpb)",
+        enc_mbps,
+        degraded,
     )
 
 

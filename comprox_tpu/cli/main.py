@@ -39,6 +39,9 @@ switches:
   -p     dictionary precompress only
   -q     quiet mode
   -j[n]  code blocks data-parallel over n (default: all) devices
+  -g<n>  batch n blocks per device scan (single-chip block batching:
+         vmap n blocks through one fused scan — per-step costs are
+         dominated by fixed dispatch, so bytes/step scale nearly free)
   -m<n>  match search depth (ref -m match_limit; default 40 -> top-4
          bucket candidates probed per position)
   -f     flexible parsing: price-DP parse choosing literal vs any match
@@ -54,8 +57,8 @@ def parse_args(argv):
     args = [a for a in argv[1:] if a == "-" or not a.startswith("-")]
     switches = [a for a in argv[1:] if a != "-" and a.startswith("-")]
     opts = {"block_mb": 16, "lanes": 256, "filters": False, "quiet": False,
-            "precomp": False, "jobs": 0, "window": 250, "depth": 40,
-            "flexible": True}
+            "precomp": False, "jobs": 0, "group": 1, "window": 250,
+            "depth": 40, "flexible": True}
     for s in switches:
         if s.startswith("-b"):
             opts["block_mb"] = float(s[2:])
@@ -69,6 +72,8 @@ def parse_args(argv):
             opts["quiet"] = True
         elif s.startswith("-j"):
             opts["jobs"] = int(s[2:] or "0") or -1
+        elif s.startswith("-g"):
+            opts["group"] = max(1, int(s[2:] or "1"))
         elif s.startswith("-f"):
             opts["flexible"] = s[2:] != "0"
         elif s.startswith("-m"):
@@ -158,7 +163,8 @@ def run(codec_name: str, argv) -> int:
         try:
             csize = encode_stream(
                 data, f, cp, filters=opts["filters"], mesh=mesh,
-                precomp_only=opts["precomp"], progress=meter.update,
+                group=opts["group"], precomp_only=opts["precomp"],
+                progress=meter.update,
             )
         finally:
             if outp != "-":
@@ -187,7 +193,7 @@ def run(codec_name: str, argv) -> int:
         )
         g = sys.stdout.buffer if outp == "-" else open(outp, "wb")
         try:
-            total = decode_stream(f, g, mesh=mesh)
+            total = decode_stream(f, g, mesh=mesh, group=opts["group"])
         finally:
             if inp != "-":
                 f.close()

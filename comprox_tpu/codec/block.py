@@ -112,6 +112,10 @@ class BlockParams:
     def __post_init__(self):
         if self.lanes % 8 or self.lanes < 8:
             raise ValueError("lanes must be a positive multiple of 8")
+        if self.window > 256:
+            # the flexible-parse DP packs (cost, length) as cost*256 +
+            # (255 - offs); offs ranges over the window
+            raise ValueError("window must be <= 256")
         if (
             self.mode == "R"
             and self.short_depth
@@ -219,9 +223,16 @@ def x_hash8(nx4, fol4, bits: int):
     churn instantly (measured: 4x fewer candidate positions than the
     context-keyed 'R' search on doc text).  8 bytes spreads common
     prefixes by their continuation; the 6-byte xshort cache serves the
-    short/near matches this key no longer sees."""
+    short/near matches this key no longer sees.
+
+    Distinct odd multipliers per half: with one shared constant C the hash
+    degenerates to (a ^ b) * C-ish behavior — any 8-gram with equal 4-byte
+    halves (zero/space runs, 4-periodic data) lands in bucket 0 and the
+    hash is symmetric under half-swap, exactly on the most matchable
+    content (advisor finding, round 2).  Encoder-private: ratio/speed
+    only, not format."""
     v = nx4.astype(_u32) * _u32(0x9E3779B1) ^ fol4.astype(_u32) * _u32(
-        2654435761
+        0x85EBCA77
     )
     return ((v >> (32 - bits)) & _u32((1 << bits) - 1)).astype(_i32)
 
@@ -962,7 +973,17 @@ def _cand_min_cost(p: BlockParams, cw, length, price):
     w = cw.shape[1]
     offs = jax.lax.broadcasted_iota(_i32, cw.shape, 1)  # l = offs+1
     mask = (offs + 1 >= p.min_len) & (offs + 1 <= length[:, None])
-    key = jnp.where(mask, (cw + price[:, None]) * 256 + (255 - offs), _P_INF * 256)
+    # Saturate real costs below _P_INF BEFORE the *256 key packing: on
+    # long low-match blocks the cost-to-go grows ~lit/step and can exceed
+    # _P_INF (~74,900 literal steps at _P_LIT_R=14), at which point the
+    # masked no-candidate key (_P_INF*256) would look CHEAPER than real
+    # costs and the DP would emit bogus matches with zero admissible
+    # candidates — silently corrupt archives (crz -b32 on incompressible
+    # data; advisor repro, round 2).  With saturation, real candidates
+    # always key < _P_INF*256 and the no-candidate case keys exactly
+    # _P_INF*256 -> cost_m == _P_INF, rejected in _parse_body.
+    cost = jnp.minimum(cw + price[:, None], _P_INF - 1)
+    key = jnp.where(mask, cost * 256 + (255 - offs), _P_INF * 256)
     best = jnp.min(key, axis=1)
     l = 256 - (best % 256)
     return best // 256, l
@@ -1010,10 +1031,16 @@ def _parse_body(p: BlockParams, n, cw, xs):
     )
     for lx, sx, px in cands:
         cost_m, l_m = _cand_min_cost(p, cw, lx, px)
-        better = cost_m <= best_cost  # tie -> match (fewer coded symbols)
+        # tie -> match (fewer coded symbols); cost_m == _P_INF means NO
+        # admissible candidate and must never win even when the saturated
+        # literal cost reaches it (see _cand_min_cost)
+        better = (cost_m <= best_cost) & (cost_m < _P_INF)
         best_len = jnp.where(better, l_m, best_len)
         best_src = jnp.where(better, sx, best_src)
         best_cost = jnp.minimum(best_cost, cost_m)
+    # saturate stored cost-to-go so cw entries stay below _P_INF at any
+    # block length (the DP loses exact pricing past the cap, never validity)
+    best_cost = jnp.minimum(best_cost, _P_INF - 1)
     best_cost = jnp.where(active, best_cost, 0)
     best_len = jnp.where(active, best_len, 0)
     cw = jnp.concatenate([best_cost[:, None], cw[:, :-1]], axis=1)

@@ -10,7 +10,7 @@ block-level data parallelism across a TPU mesh and restartable decode.
 
 Layout (all little-endian):
 
-    magic    8B   b"CPXTPU01"
+    magic    8B   b"CPXTPU02" (trailing digits = stream-format revision)
     codec    1B   b'P' (LZP) / b'X' (LZ77) / b'R' (ROLZ)
     flags    1B   bit0: dictionary present, bit1: filters enabled
     lanes    2B   u16  S
@@ -48,7 +48,12 @@ import numpy as np
 
 from comprox_tpu.codec.block import BlockParams, decode_block, encode_block
 
-MAGIC = b"CPXTPU01"
+# The trailing digits version the stream format: rev-3 grew _HDR_FMT and
+# changed table arithmetic, so pre-rev archives must fail with a clear
+# incompatible-version message, not a CRC mismatch indistinguishable from
+# corruption (advisor finding, round 2).
+MAGIC = b"CPXTPU02"
+_OLD_MAGICS = (b"CPXTPU01",)
 BF_STORED = 1
 BF_FILTERED = 2
 BF_DICT = 4
@@ -99,6 +104,11 @@ def read_header(f: BinaryIO) -> tuple[ContainerParams, int]:
 
     magic = f.read(8)
     if magic != MAGIC:
+        if magic in _OLD_MAGICS:
+            raise ValueError(
+                f"incompatible archive version {magic!r}: this build reads "
+                f"{MAGIC!r} archives (the stream format changed)"
+            )
         raise ValueError(f"bad magic {magic!r}: not a comprox_tpu archive")
     body = f.read(1 + struct.calcsize(_HDR_FMT))
     crc_raw = f.read(4)
@@ -164,12 +174,16 @@ def encode_stream(
     filters: bool = False,
     dictionary: bool = True,
     mesh=None,
+    group: int = 1,
     precomp_only: bool = False,
 ) -> int:
     """Encode ``src`` into ``dst``; returns compressed byte count.
 
     With ``mesh`` set, blocks are coded data-parallel across the mesh in
     device-count groups (bit-identical payloads to the sequential path).
+    With ``group`` > 1 (and no mesh), groups of ``group`` blocks are
+    vmap-batched through one scan on the default device — the single-chip
+    block-batching throughput path.
     ``precomp_only`` runs just the dictionary stage and stores the
     substituted bytes uncoded (the reference's -p, roxmain/main.c:77-82).
     """
@@ -223,6 +237,9 @@ def encode_stream(
     if mesh is not None:
         group_n = int(mesh.devices.size)
         from comprox_tpu.parallel.mesh import encode_blocks_list
+    elif group > 1 and cp.block.mode != "F":
+        group_n = int(group)
+        from comprox_tpu.parallel.mesh import encode_blocks_list
     else:
         group_n = 1
     blocks_it = iter_blocks(src, cp.block.capacity)
@@ -249,7 +266,11 @@ def encode_stream(
             payloads = [encode_fn(blk) for _, blk, _, _ in staged]
         elif mesh is not None and cp.block.mode != "F":
             payloads = encode_blocks_list(
-                [blk for _, blk, _, _ in staged], cp.block, mesh
+                [blk for _, blk, _, _ in staged], cp.block, mesh=mesh
+            )
+        elif group_n > 1 and cp.block.mode != "F":
+            payloads = encode_blocks_list(
+                [blk for _, blk, _, _ in staged], cp.block, group=group_n
             )
         else:
             enc1 = _block_encoder(cp.block)
@@ -279,12 +300,14 @@ def decode_stream(
     decode_fn: Optional[Callable] = None,
     progress: Optional[Callable[[int, int], None]] = None,
     mesh=None,
+    group: int = 1,
 ) -> int:
     """Decode an archive; returns raw byte count.
 
     With ``mesh`` set, coded blocks decode data-parallel across the mesh —
     the capability the reference's sequentially-dependent blocks rule out
-    (SURVEY.md §2.5 P1)."""
+    (SURVEY.md §2.5 P1).  With ``group`` > 1 (no mesh), groups of blocks
+    vmap-batch through one scan on the default device."""
     from comprox_tpu.codec import dictionary as dic
 
     cp, flags = read_header(src)
@@ -295,9 +318,13 @@ def decode_stream(
         if zlib.crc32(blob) & 0xFFFFFFFF != crc:
             raise ValueError("corrupt archive: dictionary blob CRC mismatch")
         wd = dic.unpack_dict(blob)
-    if mesh is not None and decode_fn is None and cp.block.mode != "F":
+    if (
+        (mesh is not None or group > 1)
+        and decode_fn is None
+        and cp.block.mode != "F"
+    ):
         # prescan must start at the first block header (after the dict blob)
-        decode_fn = _make_mesh_decode_fn(src, cp, mesh)
+        decode_fn = _make_mesh_decode_fn(src, cp, mesh, group)
     decode_fn = decode_fn or _block_decoder(cp.block)
     total = 0
     while True:
@@ -356,9 +383,10 @@ def decode_stream(
     return total
 
 
-def _make_mesh_decode_fn(src, cp: ContainerParams, mesh):
+def _make_mesh_decode_fn(src, cp: ContainerParams, mesh, group: int = 1):
     """Pre-scan the remaining archive and batch-decode coded blocks over
-    the mesh; returns a decode_fn serving results from the batch."""
+    the mesh (or vmap-batched groups on one device when mesh is None);
+    returns a decode_fn serving results from the batch."""
     import struct as _st
 
     from comprox_tpu.parallel.mesh import decode_blocks
@@ -394,13 +422,14 @@ def _make_mesh_decode_fn(src, cp: ContainerParams, mesh):
     # Lazy windowed decode: groups of device-count blocks go to the mesh as
     # the caller consumes results, so whole-archive output and per-block
     # device state are never live at once (bounded memory at enwik9 scale).
-    ndev = int(mesh.devices.size)
+    ndev = int(mesh.devices.size) if mesh is not None else max(group, 1)
 
     def results():
         for g in range(0, len(jobs), ndev):
             grp = jobs[g : g + ndev]
             outs = decode_blocks(
-                [p for p, _ in grp], [n for _, n in grp], cp.block, mesh
+                [p for p, _ in grp], [n for _, n in grp], cp.block,
+                mesh=mesh, group=ndev,
             )
             off = 0
             for _, n in grp:

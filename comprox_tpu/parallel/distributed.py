@@ -200,6 +200,12 @@ def decode_file_distributed(payloads, ns, p, mesh=None) -> np.ndarray:
     n_words = np.zeros((nblk_pad,), np.int64)
     for b, payload in enumerate(payloads):
         nw = int(np.frombuffer(payload[:4], "<u4")[0])
+        if nw > p.stream_pad:
+            # fail clean on corrupt/oversized payloads (the container
+            # contract) instead of a numpy broadcast error
+            raise ValueError(
+                "corrupt block: stream exceeds geometry bound"
+            )
         off = 4
         states[b] = np.frombuffer(payload[off : off + 4 * p.lanes], "<u4")
         off += 4 * p.lanes

@@ -46,6 +46,38 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+# --------------------------------------------------------------------------
+# Single-device block batching: vmap G blocks through ONE scan.
+#
+# The per-step cost of the lock-step codec is dominated by fixed-dispatch
+# random-access ops (~15-25 us dispatch + tens of ns marginal per row,
+# PERF.md round-2 probes), so running G blocks' steps together in one scan
+# multiplies bytes/step at far less than Gx the step cost.  This is the
+# single-chip counterpart of the mesh sharding above (which needs G real
+# devices); payloads are bit-identical to sequential encode_block calls
+# because each block's table state is independent (leading vmap axis).
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _encode_blocks_vmap(p: BlockParams, inp, n):
+    """inp: [G, S, T] u8, n: [G] i32 -> per-block (states, emit-bitpack,
+    words), G blocks coded in one fused scan on ONE device."""
+
+    def one(blk, nn):
+        return _encode_passes(p, blk, nn)[:3]
+
+    return jax.vmap(one)(inp, n)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _decode_blocks_vmap(p: BlockParams, states, streams, n):
+    def one(st1, sm1, n1):
+        return _decode_scan(p, st1, sm1, n1)
+
+    return jax.vmap(one)(states, streams, n)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _encode_blocks_sharded(p: BlockParams, mesh: Mesh, inp, n):
     """inp: [B, S, T] u8 sharded over blocks; n: [B] i32.  Returns per-block
@@ -124,30 +156,41 @@ def encode_blocks(
 
 
 def encode_blocks_list(
-    blocks: list[np.ndarray], p: BlockParams, mesh: Mesh
+    blocks: list[np.ndarray],
+    p: BlockParams,
+    mesh: Optional[Mesh] = None,
+    group: int = 0,
 ) -> list[bytes]:
-    """Encode an explicit list of (variable-size) blocks in device-count
-    groups; payloads are bit-identical to per-block encode_block calls."""
-    ndev = mesh.devices.size
+    """Encode an explicit list of (variable-size) blocks in groups;
+    payloads are bit-identical to per-block encode_block calls.
+
+    With ``mesh`` set, each group shards one block per device; otherwise
+    ``group`` blocks are vmap-batched through one scan on the default
+    device (single-chip block batching)."""
+    gsize = int(mesh.devices.size) if mesh is not None else max(group, 1)
     out: list[bytes] = []
-    for g in range(0, len(blocks), ndev):
-        group = blocks[g : g + ndev]
-        npad = ndev
-        buf = np.zeros((npad, p.lanes, p.steps), np.uint8)
-        ns = np.zeros((npad,), np.int32)
-        for i, blk in enumerate(group):
+    for g in range(0, len(blocks), gsize):
+        grp = blocks[g : g + gsize]
+        buf = np.zeros((gsize, p.lanes, p.steps), np.uint8)
+        ns = np.zeros((gsize,), np.int32)
+        for i, blk in enumerate(grp):
             buf[i].reshape(-1)[: blk.size] = blk
             ns[i] = blk.size
-        states, emit_packed, words = _encode_blocks_sharded(
-            p, mesh, jnp.asarray(buf), jnp.asarray(ns)
-        )
+        if mesh is not None:
+            states, emit_packed, words = _encode_blocks_sharded(
+                p, mesh, jnp.asarray(buf), jnp.asarray(ns)
+            )
+        else:
+            states, emit_packed, words = _encode_blocks_vmap(
+                p, jnp.asarray(buf), jnp.asarray(ns)
+            )
         states, emit_packed, words = map(
             np.asarray, (states, emit_packed, words)
         )
         emit = np.unpackbits(
             emit_packed, axis=-1, bitorder="little"
         ).astype(bool)
-        for i in range(len(group)):
+        for i in range(len(grp)):
             stream = words[i][emit[i]]
             out.append(
                 np.array([stream.size], np.uint32).tobytes()
@@ -158,10 +201,16 @@ def encode_blocks_list(
 
 
 def decode_blocks(
-    payloads: list[bytes], ns: list[int], p: BlockParams, mesh: Mesh
+    payloads: list[bytes],
+    ns: list[int],
+    p: BlockParams,
+    mesh: Optional[Mesh] = None,
+    group: int = 0,
 ) -> np.ndarray:
-    """Decode independent block payloads data-parallel, in file order."""
-    ndev = mesh.devices.size
+    """Decode independent block payloads in file order: data-parallel over
+    ``mesh`` devices, or vmap-batched ``group`` blocks per scan on one
+    device when mesh is None."""
+    ndev = int(mesh.devices.size) if mesh is not None else max(group, 1)
     nblk = len(payloads)
     nblk_pad = -(-max(nblk, 1) // ndev) * ndev
     states = np.zeros((nblk_pad, p.lanes), np.uint32)
@@ -171,15 +220,25 @@ def decode_blocks(
     n_words = np.zeros((nblk_pad,), np.int64)
     for b, payload in enumerate(payloads):
         nw = int(np.frombuffer(payload[:4], "<u4")[0])
+        if nw > p.stream_pad:
+            raise ValueError(
+                "corrupt block: stream exceeds geometry bound"
+            )
         off = 4
         states[b] = np.frombuffer(payload[off : off + 4 * p.lanes], "<u4")
         off += 4 * p.lanes
         streams[b, :nw] = np.frombuffer(payload[off : off + 2 * nw], "<u2")
         n_arr[b] = ns[b]
         n_words[b] = nw
-    x, base, out = _decode_blocks_sharded(
-        p, mesh, jnp.asarray(states), jnp.asarray(streams), jnp.asarray(n_arr)
-    )
+    if mesh is not None:
+        x, base, out = _decode_blocks_sharded(
+            p, mesh, jnp.asarray(states), jnp.asarray(streams),
+            jnp.asarray(n_arr),
+        )
+    else:
+        x, base, out = _decode_blocks_vmap(
+            p, jnp.asarray(states), jnp.asarray(streams), jnp.asarray(n_arr)
+        )
     x, base, out = map(np.asarray, (x, base, out))
     for b in range(nblk):
         if int(base[b]) != n_words[b] or not (x[b] == RANS_L).all():

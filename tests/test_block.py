@@ -175,3 +175,42 @@ def test_roundtrip_bench_geometry():
         roundtrip(
             np.frombuffer(buf[: p.capacity - 7], np.uint8).copy(), p
         )
+
+
+def test_parse_dp_cost_saturation(monkeypatch):
+    """Regression (advisor, round 2): when per-lane cost-to-go exceeds
+    _P_INF (long low-match blocks: ~74,900 literal steps at _P_LIT_R=14),
+    masked no-candidate entries in _cand_min_cost keyed at _P_INF*256
+    became CHEAPER than real saturating costs, so the parse emitted bogus
+    matches (take=256, src=0) with zero admissible candidates — silently
+    corrupt archives.  Reproduced here at small geometry by inflating the
+    literal price so steps*lit blows past _P_INF, on incompressible data
+    (no real candidates to hide behind)."""
+    from comprox_tpu.codec import block as B
+
+    # 4096 * 400 = 1.6M > _P_INF = 2^20: overflow by step ~2600
+    monkeypatch.setattr(B, "_P_LIT_R", 400)
+    p = BlockParams(lanes=8, steps=4096, mode="R", min_len=5, window=32,
+                    o3_bits=14, rolz_bits=10, rolz_depth=16)
+    data = np.random.default_rng(99).integers(
+        0, 256, p.capacity, dtype=np.uint8
+    )
+    roundtrip(data, p)
+
+
+def test_parse_dp_no_candidate_never_wins():
+    """Unit form of the saturation invariant: with cost-to-go already at
+    the cap and NO admissible candidate (length=0), _parse_body must pick
+    the literal, never a bogus match."""
+    import jax.numpy as jnp
+
+    from comprox_tpu.codec import block as B
+
+    p = BlockParams(lanes=8, steps=64, mode="R", min_len=5, window=32,
+                    o3_bits=14, rolz_bits=10, rolz_depth=16)
+    cw = jnp.full((p.lanes, p.window), B._P_INF - 1, jnp.int32)
+    zero = jnp.zeros((p.lanes,), jnp.int32)
+    xs = (zero, zero, zero, zero)  # t=0, length=0, src=0, idx=0
+    cw2, (take, src) = B._parse_body(p, p.capacity, cw, xs)
+    assert int(np.asarray(take).max()) == 0, "bogus match with no candidate"
+    assert int(np.asarray(cw2).max()) < B._P_INF, "stored cost not saturated"

@@ -79,3 +79,44 @@ def test_mesh_decode_stream_matches():
     out = io.BytesIO()
     decode_stream(buf, out, mesh=make_mesh(4))
     assert out.getvalue() == data.tobytes()
+
+
+def test_group_batched_encode_stream_matches_sequential():
+    """Single-chip block batching (group=G, no mesh) must produce a
+    byte-identical archive to the sequential path — vmap is a pure
+    throughput decision."""
+    import io
+
+    from comprox_tpu.codec.container import ContainerParams, encode_stream
+
+    cp = ContainerParams(codec=b"R", block=BlockParams(
+        lanes=8, steps=32, mode="R", min_len=5, window=32,
+        o3_bits=12, rolz_bits=10, rolz_depth=16,
+    ))
+    data = _data(cp.block.capacity * 5 + 17, seed=13)
+    seq, bat = io.BytesIO(), io.BytesIO()
+    encode_stream(data, seq, cp, dictionary=True)
+    encode_stream(data, bat, cp, dictionary=True, group=4)
+    assert seq.getvalue() == bat.getvalue()
+
+
+def test_group_batched_decode_stream_matches():
+    import io
+
+    from comprox_tpu.codec.container import (
+        ContainerParams,
+        decode_stream,
+        encode_stream,
+    )
+
+    cp = ContainerParams(codec=b"R", block=BlockParams(
+        lanes=8, steps=32, mode="R", min_len=5, window=32,
+        o3_bits=12, rolz_bits=10, rolz_depth=16,
+    ))
+    data = _data(cp.block.capacity * 6 + 5, seed=15)
+    buf = io.BytesIO()
+    encode_stream(data, buf, cp, dictionary=True, group=4)
+    buf.seek(0)
+    out = io.BytesIO()
+    decode_stream(buf, out, group=4)
+    assert out.getvalue() == data.tobytes()
