@@ -39,8 +39,10 @@ from comprox_tpu.codec.block import (
     BlockParams,
     SYM_DST_REPEAT,
     _dist_bucket,
+    _greedy_decisions,
     _lane_ids,
     _pack_words,
+    _parse_body,
     _search_and_parse,
 )
 from comprox_tpu.models import tables as tb
@@ -50,6 +52,13 @@ from comprox_tpu.ops.rans_scalar import M, RANS_L
 _i32 = jnp.int32
 _u32 = jnp.uint32
 
+import os as _os
+
+# 'sort' = the block-parallel sort-based finder below (the fast default);
+# 'scan' = reuse the adaptive codecs' per-step search scan (mode-'X'
+# machinery; ~30x slower encode, slightly better ratio — kept for sweeps)
+_F_FINDER = _os.environ.get("CPX_F_FINDER", "sort")
+
 W_A = 256 + 25  # literals + match-start with dist bucket 0..23 + repeat(24)
 W_L = 256  # match length - min_len
 N_SLOTS = 4  # A, len, dist-hi, dist-lo
@@ -58,6 +67,179 @@ N_SLOTS = 4  # A, len, dist-hi, dist-lo
 def _search_params(p: BlockParams) -> BlockParams:
     """Mode F reuses the 'X' search + parse machinery verbatim."""
     return dataclasses.replace(p, mode="X")
+
+
+# --------------------------------------------------------------------------
+# Block-parallel match finder (no per-step scan).
+#
+# The adaptive search scan costs ~1ms/step regardless of lanes, putting
+# mode-F encode at 0.27 MB/s (round-2 verdict: the fast profile's encoder
+# was the SLOWEST in the tree).  This finder touches every position once
+# with whole-block vectorized ops instead:
+#
+#   1. hash the 6-byte gram at every position (static shifted slices);
+#   2. one stable sort by (hash, pos) — equal grams become adjacent with
+#      positions ascending, so the K previous entries in sort order ARE
+#      the K most recent previous occurrences (the hash-chain walk of
+#      roxmain/cr-matcher.c:237-340, collapsed into one sort);
+#   3. scatter the candidates back to position order;
+#   4. byte-equality + diagonal-run extension: match length per position
+#      via ONE gathered byte compare and a reverse running-min over the
+#      diagonal-continuity mask (Hillis-Steele, static shifts — no
+#      per-length gathers).  Lengths are exact while candidates stay on
+#      one diagonal (cand[i+1] == cand[i]+1, which repetitive content
+#      satisfies) and conservatively truncated where they don't.
+#
+# Cost: one N-key sort, one row scatter, 2 element gathers per candidate,
+# and ~22 elementwise shift/min passes — all O(N) vector work, no
+# sequential dependency on block length.
+# --------------------------------------------------------------------------
+
+_F_CANDS = 3  # previous occurrences probed per position
+
+
+def _rev_runmin(m, inf):
+    """Reverse running minimum via Hillis-Steele doubling (static shifts;
+    jnp cummin lowers to a sequential loop on TPU — PERF.md)."""
+    n = m.shape[0]
+    k = 1
+    while k < n:
+        m = jnp.minimum(
+            m, jnp.concatenate([m[k:], jnp.full((k,), inf, _i32)])
+        )
+        k <<= 1
+    return m
+
+
+def _diag_run_len(eq1, diag):
+    """Per-position run length of eq1 along the candidate diagonal:
+    L[i] = #bytes matching from i while cand advances in lock-step with
+    the position, +1 for a final byte whose diagonal continuation is
+    unknown.  eq1[i] = byte[i] == byte[cand[i]]; diag[i] = cand[i+1] ==
+    cand[i] + 1."""
+    n = eq1.shape[0]
+    inf = jnp.int32(n + 1)
+    idx = jnp.arange(n, dtype=_i32)
+    g = eq1 & diag
+    nf = _rev_runmin(jnp.where(g, inf, idx), inf)  # first failing j >= i
+    nf_c = jnp.minimum(nf, n - 1)
+    # at the failing index the diagonal STILL held from i (diag[j] true for
+    # all j < nf), so eq1[nf] is a valid last-byte extension
+    tail = jnp.where(nf < n, eq1[nf_c].astype(_i32), 0)
+    return jnp.minimum(nf, n) - idx + tail
+
+
+_F_EXT = int(_os.environ.get("CPX_F_EXT", "64"))  # word-extension cap
+# (bytes); longer matches continue as repeat-distance chains or via the
+# diagonal-run recovery below
+
+
+def _bytes_eq_count(x):
+    """Leading equal bytes in a xor'd LE word: 0..4."""
+    return jnp.where(
+        x == 0,
+        4,
+        ((x & 0xFF) == 0).astype(_i32)
+        + ((x & 0xFFFF) == 0).astype(_i32)
+        + ((x & 0xFFFFFF) == 0).astype(_i32),
+    )
+
+
+def _fast_find_matches(p: BlockParams, inp_flat, n):
+    """Candidates + parse for every position, scan-free.  Returns
+    (ts [T], take [T,S], src [T,S]) — the decision grids _replay_body
+    executes (same contract as block._search_and_parse)."""
+    N = p.capacity
+    ext = min(_F_EXT, p.window)
+    pad = ext + 16
+    bi = jnp.pad(inp_flat, (0, pad)).astype(_i32)
+    bs = [bi[k : k + N + pad - 4] for k in range(4)]
+    # w_all[j] = LE u32 at byte j (defined through j = N + ext + 8)
+    w_all = bs[0] | (bs[1] << 8) | (bs[2] << 16) | (bs[3] << 24)
+    w45 = bi[4 : 4 + N] | (bi[5 : 5 + N] << 8)
+    h = w_all[:N].astype(_u32) * _u32(0x9E3779B1) ^ w45.astype(
+        _u32
+    ) * _u32(0x85EBCA77)
+    idx = jnp.arange(N, dtype=_i32)
+    # inactive tail positions sort to the very end (and are masked below)
+    h = jnp.where(idx < n, h, _u32(0xFFFFFFFF))
+    hs, ps = jax.lax.sort((h, idx), num_keys=1, is_stable=True)
+    prevs = []
+    for k in range(1, _F_CANDS + 1):
+        pk = jnp.concatenate([jnp.full((k,), -1, _i32), ps[:-k]])
+        hk = jnp.concatenate([jnp.zeros((k,), _u32), hs[:-k]])
+        prevs.append(jnp.where(hk == hs, pk, -1))
+    cand_rows = (
+        jnp.zeros((N, _F_CANDS), _i32)
+        .at[ps]
+        .set(jnp.stack(prevs, axis=-1))
+    )
+    t_of = idx % p.steps
+    cap = jnp.maximum(
+        jnp.minimum(
+            jnp.minimum(p.steps - t_of, n - idx),
+            min(p.window, p.min_len + W_L - 1),
+        ),
+        0,
+    )
+    # probe: 8-byte prefix length per candidate (2 gathered words each)
+    plens, oks = [], []
+    for k in range(_F_CANDS):
+        cand = cand_rows[:, k]
+        # decode causality (lanes advance in lock-step): the source's
+        # decode step must be strictly earlier — src % T < t.  Backward
+        # position order (cand < i) alone is NOT sufficient (block.py
+        # _rep_lengths causality note).
+        ok = (cand >= 0) & ((cand % p.steps) < t_of)
+        safe = jnp.clip(cand, 0, N - 1)
+        m0 = _bytes_eq_count(w_all[safe] ^ w_all[:N])
+        m1 = _bytes_eq_count(w_all[safe + 4] ^ w_all[4 : 4 + N])
+        plen = m0 + jnp.where(m0 == 4, m1, 0)
+        plens.append(jnp.where(ok, plen, -1))
+        oks.append(ok)
+    pl = jnp.stack(plens, axis=-1)  # [N, K]
+    # winner: longest probe, tie -> most recent (lowest k)
+    score = pl * _F_CANDS + (_F_CANDS - 1 - jnp.arange(_F_CANDS, dtype=_i32))
+    win = jnp.argmax(score, axis=-1)
+    sel = jax.lax.broadcasted_iota(_i32, (N, _F_CANDS), 1) == win[:, None]
+    src = jnp.sum(jnp.where(sel, cand_rows, 0), axis=-1)
+    ok_w = jnp.sum(jnp.where(sel, jnp.stack(oks, -1), False), axis=-1) > 0
+    safe_w = jnp.clip(src, 0, N - 1)
+    # word-compare extension of the winner to `ext` bytes
+    L = jnp.zeros((N,), _i32)
+    alive = ok_w
+    for j in range(0, ext, 4):
+        x = w_all[safe_w + j] ^ w_all[j : j + N]
+        m = _bytes_eq_count(x)
+        L = L + jnp.where(alive, m, 0)
+        alive = alive & (x == 0)
+    # diagonal-run recovery: word extension caps at `ext`, but runs that
+    # stay on one diagonal (zeros, periodic content — exactly where long
+    # matches live) measure to full window length for two gathers
+    eq1 = (bi[:N] == bi[safe_w]) & ok_w
+    diag = jnp.concatenate(
+        [src[1:] == src[:-1] + 1, jnp.zeros((1,), bool)]
+    )
+    L = jnp.maximum(L, _diag_run_len(eq1, diag))
+    l1 = jnp.minimum(jnp.where(ok_w, L, 0), cap)
+
+    # grids in [T, S] step-major order (position = lane * T + t)
+    def grid(v):
+        return v.reshape(p.lanes, p.steps).T
+
+    l1, s1 = grid(l1), grid(src)
+    zero = jnp.zeros_like(l1)
+    ts = jnp.arange(p.steps, dtype=_i32)
+    if p.flexible:
+        xs = (ts, l1, s1, zero, zero, zero, zero)
+        cw0 = jnp.zeros((p.lanes, p.window), _i32)
+        parse = functools.partial(_parse_body, _search_params(p), n)
+        _, (take, src_g) = jax.lax.scan(parse, cw0, xs, reverse=True)
+    else:
+        take, src_g = _greedy_decisions(
+            _search_params(p), n, (l1, s1, zero, zero, zero, zero)
+        )
+    return ts, take, src_g
 
 
 def normalize_freqs(h, width: int):
@@ -127,11 +309,14 @@ def _replay_body(p: BlockParams, inp, n, carry, xs):
 @functools.partial(jax.jit, static_argnums=(0,))
 def _encode_fast(p: BlockParams, inp, n):
     """Returns (A_freq [W_A], L_freq [W_L], states [S], emit-bitpack, words)."""
-    px = _search_params(p)
     inp_flat = inp.reshape(-1)
-    inp_w32 = _pack_words(inp_flat)
-    inp_pad = jnp.pad(inp, ((0, 0), (0, p.window + 1)))
-    ts, take, src = _search_and_parse(px, inp_pad, inp_flat, inp_w32, n)
+    if _F_FINDER == "scan":
+        px = _search_params(p)
+        inp_w32 = _pack_words(inp_flat)
+        inp_pad = jnp.pad(inp, ((0, 0), (0, p.window + 1)))
+        ts, take, src = _search_and_parse(px, inp_pad, inp_flat, inp_w32, n)
+    else:
+        ts, take, src = _fast_find_matches(p, inp_flat, n)
 
     carry0 = (
         jnp.zeros((p.lanes,), _i32),
