@@ -19,7 +19,9 @@ Layout (all little-endian):
     knobs    4B   u32  CRC32 of the format-relevant model constants
     hdrcrc   4B   u32  CRC32 of codec..knobs (a flipped geometry bit
                        fails loudly instead of decoding garbage)
-    [dict blob: u32 len + u32 crc + payload]       (if flags bit0)
+    [dict blob: u32 raw_len + u32 coded_len + u32 crc(raw) + payload]
+        (if flags bit0; coded_len == 0 -> raw_len stored bytes follow,
+         else coded_len bytes of order-1+rANS coded blob)
     repeat:
         raw_n    4B   u32  raw bytes in this block (0 terminates)
         blen     4B   u32  payload length
@@ -200,12 +202,21 @@ def encode_stream(
     written = HEADER_LEN
     if wd is not None:
         blob = dic.pack_dict(wd)
-        # CRC over the blob: the dict rides uncoded (no rANS drain check
-        # guards it), so without this a flipped bit decodes to silently
-        # wrong text (found by the corruption probe in /verify)
+        # CRC over the RAW blob: guards both transport corruption and the
+        # blob entropy coder itself (found by the corruption probe in
+        # /verify).  The blob rides order-1+rANS coded (the reference
+        # lz-encodes its dictionary, src/main.c:163-164); clen == 0 marks
+        # a stored blob (incompressible pathological dictionaries).
+        coded = dic.blob_encode(blob)
         crc = zlib.crc32(blob) & 0xFFFFFFFF
-        dst.write(struct.pack("<II", len(blob), crc) + blob)
-        written += 8 + len(blob)
+        if len(coded) < len(blob):
+            dst.write(
+                struct.pack("<III", len(blob), len(coded), crc) + coded
+            )
+            written += 12 + len(coded)
+        else:
+            dst.write(struct.pack("<III", len(blob), 0, crc) + blob)
+            written += 12 + len(blob)
 
     # Blocks stream through in bounded groups (device-count-sized on a
     # mesh): stage -> code -> write, then the group's memory is released.
@@ -313,9 +324,15 @@ def decode_stream(
     cp, flags = read_header(src)
     wd = None
     if flags & F_DICT:
-        blob_len, crc = struct.unpack("<II", src.read(8))
-        blob = src.read(blob_len)
-        if zlib.crc32(blob) & 0xFFFFFFFF != crc:
+        hdr = src.read(12)
+        if len(hdr) < 12:
+            raise ValueError("truncated archive: short dictionary header")
+        blob_len, clen, crc = struct.unpack("<III", hdr)
+        if clen:
+            blob = dic.blob_decode(src.read(clen), blob_len)
+        else:
+            blob = src.read(blob_len)
+        if len(blob) != blob_len or zlib.crc32(blob) & 0xFFFFFFFF != crc:
             raise ValueError("corrupt archive: dictionary blob CRC mismatch")
         wd = dic.unpack_dict(blob)
     if (
