@@ -707,6 +707,183 @@ def _prefix_len(cur_win, cand):
     return jnp.sum((incl == 0).astype(_i32), axis=-1)
 
 
+# --------------------------------------------------------------------------
+# Sort-based whole-block candidate finder (modes 'X' and 'F').
+#
+# The per-step search scan pays ~1 ms/step regardless of lane count; this
+# finder touches every position once with whole-block vectorized ops: hash
+# the 6-byte gram at every position, stable-sort (hash, pos) so the K
+# previous occurrences of a gram are sort-adjacent (the hash-chain walk of
+# roxmain/cr-matcher.c:237-340 collapsed into one sort — and with NO
+# recency-depth cap), scatter candidates back to position order, then
+# word-compare extension plus a diagonal-run recovery for long runs.
+# Encoder-private throughout: 'X'/'F' code explicit distances, so the
+# candidate source never touches the decoder.
+# --------------------------------------------------------------------------
+
+# word-extension depth for mode 'X' (bytes; swept 64/128/250 on dict-
+# coded text: monotone better, full window wins); the fast profile
+# passes its own shallower depth
+_SORT_EXT = int(_os.environ.get("CPX_SORT_EXT", "250"))
+# mode-'X' candidate source: 'sort' = this finder; 'scan' = the round-2
+# per-step bucket search (kept for sweeps/regression comparison)
+_X_FINDER = _os.environ.get("CPX_X_FINDER", "sort")
+
+
+def _rev_runmin(m, inf):
+    """Reverse running minimum via Hillis-Steele doubling (static shifts;
+    jnp cummin lowers to a sequential loop on TPU — PERF.md)."""
+    n = m.shape[0]
+    k = 1
+    while k < n:
+        m = jnp.minimum(
+            m, jnp.concatenate([m[k:], jnp.full((k,), inf, _i32)])
+        )
+        k <<= 1
+    return m
+
+
+def _diag_run_len(eq1, diag):
+    """Per-position run length of eq1 along the candidate diagonal:
+    L[i] = #bytes matching from i while cand advances in lock-step with
+    the position, +1 for a final byte whose diagonal continuation is
+    unknown.  eq1[i] = byte[i] == byte[cand[i]]; diag[i] = cand[i+1] ==
+    cand[i] + 1."""
+    n = eq1.shape[0]
+    inf = jnp.int32(n + 1)
+    idx = jnp.arange(n, dtype=_i32)
+    g = eq1 & diag
+    nf = _rev_runmin(jnp.where(g, inf, idx), inf)  # first failing j >= i
+    nf_c = jnp.minimum(nf, n - 1)
+    # at the failing index the diagonal STILL held from i (diag[j] true
+    # for all j < nf), so eq1[nf] is a valid last-byte extension
+    tail = jnp.where(nf < n, eq1[nf_c].astype(_i32), 0)
+    return jnp.minimum(nf, n) - idx + tail
+
+
+def _bytes_eq_count(x):
+    """Leading equal bytes in a xor'd LE word: 0..4."""
+    return jnp.where(
+        x == 0,
+        4,
+        ((x & 0xFF) == 0).astype(_i32)
+        + ((x & 0xFFFF) == 0).astype(_i32)
+        + ((x & 0xFFFFFF) == 0).astype(_i32),
+    )
+
+
+def sort_candidates(p: BlockParams, inp_flat, n, n_cands: int = 3,
+                    ext: int = 0, ctx_bytes: int = 0,
+                    probe_from: int = 0):
+    """K causal previous-occurrence candidates per position, each with a
+    word-extended match length.  Returns ([N] length, [N] src) pairs in
+    position order, nearest occurrence first.
+
+    ``ctx_bytes`` = 0 keys positions by their own upcoming 6-gram (the
+    content-keyed family); 3 or 4 keys them by the PRECEDING context
+    bytes (the ROLZ-style "what followed this context before" family —
+    on dict-coded text this source found 644k of 2M candidate positions
+    where the content key saw 238k, PERF.md round 3).  Both families are
+    byte-verified by extension, so hash quality only affects coverage.
+
+    ``probe_from`` > n_cands walks a deeper chain cheaply: probe the
+    first ``probe_from`` occurrences with 2 gathered words each (8-byte
+    prefix), keep the ``n_cands`` best by (prefix len, recency), and
+    full-extend only those — chain-depth coverage at roughly the probe's
+    cost (2 vs ~ext/4 gathers per rejected candidate)."""
+    N = p.capacity
+    ext = min(ext or _SORT_EXT, p.window)
+    pad = ext + 16
+    bi = jnp.pad(inp_flat, (0, pad)).astype(_i32)
+    bs = [bi[k : k + N + pad - 4] for k in range(4)]
+    # w_all[j] = LE u32 at byte j (defined through j = N + ext + 8)
+    w_all = bs[0] | (bs[1] << 8) | (bs[2] << 16) | (bs[3] << 24)
+    idx = jnp.arange(N, dtype=_i32)
+    if ctx_bytes:
+        # key = the ctx_bytes bytes before the position
+        wp = jnp.concatenate(
+            [jnp.zeros((ctx_bytes,), _i32), w_all[: N - ctx_bytes]]
+        ).astype(_u32)
+        if ctx_bytes == 3:
+            wp = wp & _u32(0xFFFFFF)
+        h = wp * _u32(2654435761)
+        valid = (idx >= ctx_bytes) & (idx < n)
+    else:
+        w45 = bi[4 : 4 + N] | (bi[5 : 5 + N] << 8)
+        h = w_all[:N].astype(_u32) * _u32(0x9E3779B1) ^ w45.astype(
+            _u32
+        ) * _u32(0x85EBCA77)
+        valid = idx < n
+    # invalid positions sort to the very end (and are masked below)
+    h = jnp.where(valid, h, _u32(0xFFFFFFFF))
+    hs, ps = jax.lax.sort((h, idx), num_keys=1, is_stable=True)
+    chain = max(probe_from, n_cands)
+    prevs = []
+    for k in range(1, chain + 1):
+        pk = jnp.concatenate([jnp.full((k,), -1, _i32), ps[:-k]])
+        hk = jnp.concatenate([jnp.zeros((k,), _u32), hs[:-k]])
+        prevs.append(jnp.where(hk == hs, pk, -1))
+    cand_rows = (
+        jnp.zeros((N, chain), _i32)
+        .at[ps]
+        .set(jnp.stack(prevs, axis=-1))
+    )
+    t_of = idx % p.steps
+    if chain > n_cands:
+        plens = []
+        for k in range(chain):
+            cand = cand_rows[:, k]
+            ok = (cand >= 0) & ((cand % p.steps) < t_of)
+            safe = jnp.clip(cand, 0, N - 1)
+            m0 = _bytes_eq_count(w_all[safe] ^ w_all[:N])
+            m1 = _bytes_eq_count(w_all[safe + 4] ^ w_all[4 : 4 + N])
+            plen = m0 + jnp.where(m0 == 4, m1, 0)
+            plens.append(jnp.where(ok, plen, -1))
+        pl = jnp.stack(plens, axis=-1)  # [N, chain]
+        score = pl * chain + (
+            chain - 1 - jax.lax.broadcasted_iota(_i32, pl.shape, 1)
+        )
+        _, top = jax.lax.top_k(score, n_cands)
+        cand_rows = jnp.stack(
+            [_sel_along(cand_rows, top[:, j]) for j in range(n_cands)],
+            axis=-1,
+        )
+    cap = jnp.maximum(
+        jnp.minimum(
+            jnp.minimum(p.steps - t_of, n - idx),
+            min(p.window, p.min_len + ppm.LEN_W - 1),
+        ),
+        0,
+    )
+    out = []
+    for k in range(n_cands):
+        cand = cand_rows[:, k]
+        # decode causality (lanes advance in lock-step): the source's
+        # decode step must be strictly earlier — src % T < t.  Backward
+        # position order (cand < i) alone is NOT sufficient (see the
+        # _rep_lengths causality note).
+        ok = (cand >= 0) & ((cand % p.steps) < t_of)
+        safe = jnp.clip(cand, 0, N - 1)
+        L = jnp.zeros((N,), _i32)
+        alive = ok
+        for j in range(0, ext, 4):
+            x = w_all[safe + j] ^ w_all[j : j + N]
+            m = _bytes_eq_count(x)
+            L = L + jnp.where(alive, m, 0)
+            alive = alive & (x == 0)
+        # diagonal-run recovery: word extension caps at `ext`, but runs
+        # that stay on one diagonal (zeros, periodic content — exactly
+        # where long matches live) measure to full window length for two
+        # gathers
+        eq1 = (bi[:N] == bi[safe]) & ok
+        diag = jnp.concatenate(
+            [cand[1:] == cand[:-1] + 1, jnp.zeros((1,), bool)]
+        )
+        L = jnp.maximum(L, _diag_run_len(eq1, diag))
+        out.append((jnp.minimum(jnp.where(ok, L, 0), cap), cand))
+    return out
+
+
 def _rolz_best_match(c, pos, t, n, p: BlockParams, inp_w32, cur_win,
                      x_keyed: bool = False, probe_only: bool = False,
                      ctx4_override=None, table: str = "rolz_ent"):
@@ -989,10 +1166,11 @@ def _cand_min_cost(p: BlockParams, cw, length, price):
     return best // 256, l
 
 
-def _parse_body(p: BlockParams, n, cw, xs):
-    """One backward-DP step: cost[t] and the decision at t.  'X' xs may
-    carry a 6th/7th element (rep-extend length + expected prev distance)
-    on the rep-aware second parse iteration."""
+def _parse_body(p: BlockParams, n, cw, xs, n_c: int = 3):
+    """One backward-DP step: cost[t] and the decision at t.  'X' xs is
+    (t, l_1, s_1, ..., l_{n_c}, s_{n_c}[, lrep, prev]) — the trailing
+    pair (rep-extend length + expected prev distance) rides only on the
+    rep-aware second parse iteration."""
     lanes = _lane_ids(p.lanes)
     if p.mode == "R":
         t, l1, s1, idx1 = xs
@@ -1000,28 +1178,25 @@ def _parse_body(p: BlockParams, n, cw, xs):
         cands = [(l1, s1, price1)]
         lit = _P_LIT_R
     else:
-        t, l1, s1, l2, s2, l3, s3 = xs[:7]
+        t = xs[0]
         pos = lanes * p.steps + t
-        d1 = jnp.maximum(pos - s1, 1)
-        d2 = jnp.maximum(pos - s2, 1)
-        d3 = jnp.maximum(pos - s3, 1)
-        price1 = _P_XM + _P_XK * _dist_bucket(d1)
-        price2 = _P_XM + _P_XK * _dist_bucket(d2)
-        price3 = _P_XM + _P_XK * _dist_bucket(d3)
-        cands = [(l1, s1, price1), (l2, s2, price2), (l3, s3, price3)]
-        if len(xs) > 7:
-            lrep, prev = xs[7], xs[8]
-            # normal candidates that happen to sit at the expected repeat
-            # distance also get the cheap price
-            price1 = jnp.where(d1 == prev, _P_XREP, price1)
-            price2 = jnp.where(d2 == prev, _P_XREP, price2)
-            price3 = jnp.where(d3 == prev, _P_XREP, price3)
-            cands = [
-                (l1, s1, price1),
-                (l2, s2, price2),
-                (l3, s3, price3),
-                (lrep, pos - prev, jnp.full_like(prev, _P_XREP)),
-            ]
+        has_rep = len(xs) > 1 + 2 * n_c
+        prev = xs[-1] if has_rep else None
+        cands = []
+        for i in range(n_c):
+            lx, sx = xs[1 + 2 * i], xs[2 + 2 * i]
+            d = jnp.maximum(pos - sx, 1)
+            price = _P_XM + _P_XK * _dist_bucket(d)
+            if has_rep:
+                # normal candidates that happen to sit at the expected
+                # repeat distance also get the cheap price
+                price = jnp.where(d == prev, _P_XREP, price)
+            cands.append((lx, sx, price))
+        if has_rep:
+            lrep = xs[-2]
+            cands.append(
+                (lrep, pos - prev, jnp.full_like(prev, _P_XREP))
+            )
         lit = _P_LIT_X
     pos = lanes * p.steps + t
     active = pos < n
@@ -1054,14 +1229,14 @@ def _greedy_decisions(p: BlockParams, n, outs):
     if p.mode == "R":
         l1, s1 = outs[0], outs[1]
     else:
-        l1, s1, l2, s2, l3, s3 = outs
-        # longest of the two bucket sources, then short-cache fallback
-        use3 = l3 > l1
-        l1 = jnp.where(use3, l3, l1)
-        s1 = jnp.where(use3, s3, s1)
-        use2 = (l1 < p.min_len) & (l2 >= p.min_len)
-        l1 = jnp.where(use2, l2, l1)
-        s1 = jnp.where(use2, s2, s1)
+        # longest candidate wins; ties prefer earlier sources (which are
+        # ordered nearest-first, so cheaper distances)
+        l1, s1 = outs[0], outs[1]
+        for i in range(1, len(outs) // 2):
+            lx, sx = outs[2 * i], outs[2 * i + 1]
+            use = lx > l1
+            l1 = jnp.where(use, lx, l1)
+            s1 = jnp.where(use, sx, s1)
     len_next = jnp.concatenate([l1[1:], jnp.zeros_like(l1[:1])], axis=0)
     if p.mode == "X":
         ts = jnp.arange(l1.shape[0], dtype=_i32)[:, None]
@@ -1136,16 +1311,49 @@ def _search_and_parse(p: BlockParams, inp_pad, inp_flat, inp_w32, n):
     repeat-distance runs, and re-parse with the cheap rep candidate (the
     reference's last_match-first lookup, cr-matcher.c:246-249, expressed
     as a fixed-point-ish second DP pass)."""
-    carry = _init_carry(p, enc_side=True, search=True)
-    body = functools.partial(_search_body, p, inp_pad, inp_w32, n)
-    _, outs = jax.lax.scan(body, carry, jnp.arange(p.steps, dtype=_i32))
     ts = jnp.arange(p.steps, dtype=_i32)
+    if p.mode == "X" and _X_FINDER == "sort":
+        # whole-block sort-based candidates (no search scan): strictly
+        # wider coverage than the recency-64 bucket walk — every causal
+        # previous 6-gram occurrence is a chain entry.  Two families:
+        # content-keyed (nearest 3 same-6-gram occurrences) + context-
+        # keyed (nearest 2 "what followed these ctx bytes" occurrences,
+        # the productive source on dict-coded text)
+        def grid(v):
+            return v.reshape(p.lanes, p.steps).T
+
+        import os as _os2
+
+        n_cands = int(_os2.environ.get("CPX_X_CANDS", "3"))
+        probe_from = int(_os2.environ.get("CPX_X_PROBE", "16"))
+        cands = sort_candidates(
+            p, inp_flat, n, n_cands=n_cands, probe_from=probe_from
+        )
+        if _os2.environ.get("CPX_X_CTXCAND", "0") == "1":
+            # measured neutral on dict-coded text (1.4296 vs 1.429 bpb):
+            # any ctx-keyed hit with length >= min_len has a matching
+            # 6-gram, so the content family already saw it unless all 3
+            # nearest occurrences were non-causal.  Kept for sweeps.
+            cands += sort_candidates(
+                p, inp_flat, n, n_cands=2, ctx_bytes=p.rolz_ctx_bytes
+            )
+        outs = tuple(
+            g for l, s in cands for g in (grid(l), grid(s))
+        )
+    else:
+        carry = _init_carry(p, enc_side=True, search=True)
+        body = functools.partial(_search_body, p, inp_pad, inp_w32, n)
+        _, outs = jax.lax.scan(
+            body, carry, jnp.arange(p.steps, dtype=_i32)
+        )
     if p.flexible:
-        xs = (ts, outs[0], outs[1], outs[2]) if p.mode == "R" else (
-            ts, outs[0], outs[1], outs[2], outs[3], outs[4], outs[5]
+        xs = (
+            (ts, outs[0], outs[1], outs[2])
+            if p.mode == "R"
+            else (ts,) + tuple(outs)
         )
         cw0 = jnp.zeros((p.lanes, p.window), _i32)
-        parse = functools.partial(_parse_body, p, n)
+        parse = functools.partial(_parse_body, p, n, n_c=len(outs) // 2)
         _, (take, src) = jax.lax.scan(parse, cw0, xs, reverse=True)
         if p.mode == "R":
             src = outs[1]  # single candidate: src is the search's

@@ -98,147 +98,35 @@ def _search_params(p: BlockParams) -> BlockParams:
 _F_CANDS = 3  # previous occurrences probed per position
 
 
-def _rev_runmin(m, inf):
-    """Reverse running minimum via Hillis-Steele doubling (static shifts;
-    jnp cummin lowers to a sequential loop on TPU — PERF.md)."""
-    n = m.shape[0]
-    k = 1
-    while k < n:
-        m = jnp.minimum(
-            m, jnp.concatenate([m[k:], jnp.full((k,), inf, _i32)])
-        )
-        k <<= 1
-    return m
-
-
-def _diag_run_len(eq1, diag):
-    """Per-position run length of eq1 along the candidate diagonal:
-    L[i] = #bytes matching from i while cand advances in lock-step with
-    the position, +1 for a final byte whose diagonal continuation is
-    unknown.  eq1[i] = byte[i] == byte[cand[i]]; diag[i] = cand[i+1] ==
-    cand[i] + 1."""
-    n = eq1.shape[0]
-    inf = jnp.int32(n + 1)
-    idx = jnp.arange(n, dtype=_i32)
-    g = eq1 & diag
-    nf = _rev_runmin(jnp.where(g, inf, idx), inf)  # first failing j >= i
-    nf_c = jnp.minimum(nf, n - 1)
-    # at the failing index the diagonal STILL held from i (diag[j] true for
-    # all j < nf), so eq1[nf] is a valid last-byte extension
-    tail = jnp.where(nf < n, eq1[nf_c].astype(_i32), 0)
-    return jnp.minimum(nf, n) - idx + tail
-
-
 _F_EXT = int(_os.environ.get("CPX_F_EXT", "64"))  # word-extension cap
-# (bytes); longer matches continue as repeat-distance chains or via the
-# diagonal-run recovery below
-
-
-def _bytes_eq_count(x):
-    """Leading equal bytes in a xor'd LE word: 0..4."""
-    return jnp.where(
-        x == 0,
-        4,
-        ((x & 0xFF) == 0).astype(_i32)
-        + ((x & 0xFFFF) == 0).astype(_i32)
-        + ((x & 0xFFFFFF) == 0).astype(_i32),
-    )
+# (bytes): shallower than mode 'X' (speed profile); longer matches
+# continue as repeat-distance chains or via the diagonal-run recovery
 
 
 def _fast_find_matches(p: BlockParams, inp_flat, n):
-    """Candidates + parse for every position, scan-free.  Returns
-    (ts [T], take [T,S], src [T,S]) — the decision grids _replay_body
-    executes (same contract as block._search_and_parse)."""
-    N = p.capacity
-    ext = min(_F_EXT, p.window)
-    pad = ext + 16
-    bi = jnp.pad(inp_flat, (0, pad)).astype(_i32)
-    bs = [bi[k : k + N + pad - 4] for k in range(4)]
-    # w_all[j] = LE u32 at byte j (defined through j = N + ext + 8)
-    w_all = bs[0] | (bs[1] << 8) | (bs[2] << 16) | (bs[3] << 24)
-    w45 = bi[4 : 4 + N] | (bi[5 : 5 + N] << 8)
-    h = w_all[:N].astype(_u32) * _u32(0x9E3779B1) ^ w45.astype(
-        _u32
-    ) * _u32(0x85EBCA77)
-    idx = jnp.arange(N, dtype=_i32)
-    # inactive tail positions sort to the very end (and are masked below)
-    h = jnp.where(idx < n, h, _u32(0xFFFFFFFF))
-    hs, ps = jax.lax.sort((h, idx), num_keys=1, is_stable=True)
-    prevs = []
-    for k in range(1, _F_CANDS + 1):
-        pk = jnp.concatenate([jnp.full((k,), -1, _i32), ps[:-k]])
-        hk = jnp.concatenate([jnp.zeros((k,), _u32), hs[:-k]])
-        prevs.append(jnp.where(hk == hs, pk, -1))
-    cand_rows = (
-        jnp.zeros((N, _F_CANDS), _i32)
-        .at[ps]
-        .set(jnp.stack(prevs, axis=-1))
+    """Candidates + parse for every position, scan-free (the shared
+    sort-based finder, block.sort_candidates).  Returns (ts [T],
+    take [T,S], src [T,S]) — the decision grids _replay_body executes
+    (same contract as block._search_and_parse)."""
+    from comprox_tpu.codec.block import sort_candidates
+
+    cands = sort_candidates(
+        p, inp_flat, n, n_cands=_F_CANDS, ext=min(_F_EXT, p.window)
     )
-    t_of = idx % p.steps
-    cap = jnp.maximum(
-        jnp.minimum(
-            jnp.minimum(p.steps - t_of, n - idx),
-            min(p.window, p.min_len + W_L - 1),
-        ),
-        0,
-    )
-    # probe: 8-byte prefix length per candidate (2 gathered words each)
-    plens, oks = [], []
-    for k in range(_F_CANDS):
-        cand = cand_rows[:, k]
-        # decode causality (lanes advance in lock-step): the source's
-        # decode step must be strictly earlier — src % T < t.  Backward
-        # position order (cand < i) alone is NOT sufficient (block.py
-        # _rep_lengths causality note).
-        ok = (cand >= 0) & ((cand % p.steps) < t_of)
-        safe = jnp.clip(cand, 0, N - 1)
-        m0 = _bytes_eq_count(w_all[safe] ^ w_all[:N])
-        m1 = _bytes_eq_count(w_all[safe + 4] ^ w_all[4 : 4 + N])
-        plen = m0 + jnp.where(m0 == 4, m1, 0)
-        plens.append(jnp.where(ok, plen, -1))
-        oks.append(ok)
-    pl = jnp.stack(plens, axis=-1)  # [N, K]
-    # winner: longest probe, tie -> most recent (lowest k)
-    score = pl * _F_CANDS + (_F_CANDS - 1 - jnp.arange(_F_CANDS, dtype=_i32))
-    win = jnp.argmax(score, axis=-1)
-    sel = jax.lax.broadcasted_iota(_i32, (N, _F_CANDS), 1) == win[:, None]
-    src = jnp.sum(jnp.where(sel, cand_rows, 0), axis=-1)
-    ok_w = jnp.sum(jnp.where(sel, jnp.stack(oks, -1), False), axis=-1) > 0
-    safe_w = jnp.clip(src, 0, N - 1)
-    # word-compare extension of the winner to `ext` bytes
-    L = jnp.zeros((N,), _i32)
-    alive = ok_w
-    for j in range(0, ext, 4):
-        x = w_all[safe_w + j] ^ w_all[j : j + N]
-        m = _bytes_eq_count(x)
-        L = L + jnp.where(alive, m, 0)
-        alive = alive & (x == 0)
-    # diagonal-run recovery: word extension caps at `ext`, but runs that
-    # stay on one diagonal (zeros, periodic content — exactly where long
-    # matches live) measure to full window length for two gathers
-    eq1 = (bi[:N] == bi[safe_w]) & ok_w
-    diag = jnp.concatenate(
-        [src[1:] == src[:-1] + 1, jnp.zeros((1,), bool)]
-    )
-    L = jnp.maximum(L, _diag_run_len(eq1, diag))
-    l1 = jnp.minimum(jnp.where(ok_w, L, 0), cap)
 
     # grids in [T, S] step-major order (position = lane * T + t)
     def grid(v):
         return v.reshape(p.lanes, p.steps).T
 
-    l1, s1 = grid(l1), grid(src)
-    zero = jnp.zeros_like(l1)
+    outs = tuple(g for l, s in cands for g in (grid(l), grid(s)))
     ts = jnp.arange(p.steps, dtype=_i32)
     if p.flexible:
-        xs = (ts, l1, s1, zero, zero, zero, zero)
+        xs = (ts,) + outs
         cw0 = jnp.zeros((p.lanes, p.window), _i32)
         parse = functools.partial(_parse_body, _search_params(p), n)
         _, (take, src_g) = jax.lax.scan(parse, cw0, xs, reverse=True)
     else:
-        take, src_g = _greedy_decisions(
-            _search_params(p), n, (l1, s1, zero, zero, zero, zero)
-        )
+        take, src_g = _greedy_decisions(_search_params(p), n, outs)
     return ts, take, src_g
 
 
