@@ -99,10 +99,35 @@ def _reexec(extra_env: dict) -> None:
 def _backend_or_fallback() -> str:
     """Bring up the JAX backend; on failure re-exec with backoff (a failed
     backend init is cached in-process, so retry means a fresh interpreter),
-    finally degrading to a small CPU-only run."""
+    finally degrading to a small CPU-only run.
+
+    The probe runs in a SUBPROCESS with a hard deadline first: a remote-
+    TPU outage makes backend init HANG for ~25 minutes (measured round 3),
+    which would otherwise turn the retry loop into hours of dead air."""
     tries = int(os.environ.get("BENCH_TRIES", "5"))
     attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
+    probe_s = float(os.environ.get("BENCH_INIT_TIMEOUT", "300"))
     try:
+        if os.environ.get("JAX_PLATFORMS") != "cpu":
+            import subprocess
+
+            r = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import jax; d = jax.devices();"
+                    "v = jax.numpy.arange(8) + 1;"
+                    "assert int(v.sum()) == 36;"
+                    "print(d[0].platform)",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=probe_s,
+            )
+            if r.returncode != 0:
+                raise RuntimeError(
+                    f"probe rc={r.returncode}: {r.stderr[-300:]}"
+                )
         import jax
 
         plat = jax.devices()[0].platform

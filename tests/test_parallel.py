@@ -45,7 +45,10 @@ def test_graft_entry_dryrun():
     import jax
 
     jax.jit(fn).lower(*args)  # compile-check single device
-    ge.dryrun_multichip(4)
+    # 2 devices keeps the suite fast; the dryrun now runs PRODUCTION
+    # table geometry (S=512, 1 MiB blocks, 2^18x64 ROLZ), ~2 min/device
+    # on the virtual CPU mesh.  The driver runs the full 8-device pass.
+    ge.dryrun_multichip(2)
 
 
 def test_mesh_encode_stream_matches_sequential():
