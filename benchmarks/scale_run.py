@@ -1,0 +1,89 @@
+"""Scale runs: 100 MiB (VERDICT r2 #5) and enwik9-class 1 GB (#10).
+
+Streams through temp files (bounded memory), logs peak RSS, verifies the
+round trip bit-exact, and prints a PERF.md-ready row.
+
+  python benchmarks/scale_run.py 100          # 100 MiB, 32 MiB R blocks
+  SCALE_BLOCK_MB=8 python benchmarks/scale_run.py 100
+  python benchmarks/scale_run.py 1024         # the 1 GB run
+
+Env: SCALE_BLOCK_MB (default 32), SCALE_GROUP (default 2 at 32 MiB
+blocks — HBM bound), SCALE_LANES (512), SCALE_MODE (R).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    mb = float(sys.argv[1]) if len(sys.argv) > 1 else 100.0
+    block_mb = float(os.environ.get("SCALE_BLOCK_MB", "32"))
+    group = int(os.environ.get("SCALE_GROUP", "2"))
+    lanes = int(os.environ.get("SCALE_LANES", "512"))
+    mode = os.environ.get("SCALE_MODE", "R")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import build_corpus
+    from comprox_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from comprox_tpu.codec import container
+    from comprox_tpu.codec.block import BlockParams
+    from comprox_tpu.codec.container import ContainerParams
+
+    n = int(mb * 1048576)
+    steps = max(1, int(block_mb * 1048576) // lanes)
+    bp = BlockParams(
+        lanes=lanes,
+        steps=steps,
+        mode=mode,
+        min_len={"R": 5, "X": 6, "F": 6, "P": 4}[mode],
+        rolz_ctx_bytes=4 if block_mb >= 4 else 3,
+        rolz_dec=2 if mode == "R" else 1,
+    )
+    cp = ContainerParams(codec=mode.encode(), block=bp)
+
+    src_path, arc_path, out_path = (
+        f"/tmp/scale_{int(mb)}.src",
+        f"/tmp/scale_{int(mb)}.cpx",
+        f"/tmp/scale_{int(mb)}.out",
+    )
+    data = build_corpus(n)
+    data.tofile(src_path)
+    src_md5 = hashlib.md5(data.tobytes()).hexdigest()
+
+    t0 = time.time()
+    with open(arc_path, "wb") as f:
+        csize = container.encode_stream(data, f, cp, group=group)
+    enc_s = time.time() - t0
+    del data
+
+    t0 = time.time()
+    with open(arc_path, "rb") as f, open(out_path, "wb") as g:
+        total = container.decode_stream(f, g, group=group)
+    dec_s = time.time() - t0
+
+    out_md5 = hashlib.md5(open(out_path, "rb").read()).hexdigest()
+    ok = out_md5 == src_md5 and total == n
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    print(
+        f"scale {mb:g}MiB mode={mode} block={block_mb:g}MiB x{group}: "
+        f"{'BIT-EXACT' if ok else 'MISMATCH!'} "
+        f"{csize} B ({csize * 8 / n:.4f} bpb), "
+        f"enc {n / enc_s / 1e6:.2f} MB/s, dec {n / dec_s / 1e6:.2f} MB/s, "
+        f"peak RSS {peak_mb:.0f} MB"
+    )
+    for p in (src_path, arc_path, out_path):
+        os.unlink(p)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

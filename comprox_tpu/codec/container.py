@@ -254,53 +254,69 @@ def encode_stream(
     else:
         group_n = 1
     blocks_it = iter_blocks(src, cp.block.capacity)
-    while True:
-        staged = [
-            stage(raw)
-            for raw in itertools.islice(blocks_it, group_n)
-        ]
-        if not staged:
-            break
-        if precomp_only:
-            for raw_blk, blk, prefix, bflags in staged:
-                body = prefix + blk.tobytes()
+    # Producer/consumer overlap (SURVEY.md §2.5 P2, re-expressed): the
+    # next group's host staging (filters + dictionary substitution, C
+    # loops that release the GIL) runs on a worker thread while the
+    # device codes the current group.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def stage_group(raws):
+        return [stage(raw) for raw in raws]
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        nxt = list(itertools.islice(blocks_it, group_n))
+        fut = pool.submit(stage_group, nxt) if nxt else None
+        while fut is not None:
+            staged = fut.result()
+            nxt = list(itertools.islice(blocks_it, group_n))
+            fut = pool.submit(stage_group, nxt) if nxt else None
+            if precomp_only:
+                for raw_blk, blk, prefix, bflags in staged:
+                    body = prefix + blk.tobytes()
+                    dst.write(
+                        struct.pack(
+                            BLKHDR, raw_blk.size, len(body),
+                            bflags | BF_STORED,
+                            zlib.crc32(body) & 0xFFFFFFFF,
+                        )
+                    )
+                    dst.write(body)
+                    written += BLKHDR_LEN + len(body)
+                continue
+            if encode_fn is not None:
+                payloads = [encode_fn(blk) for _, blk, _, _ in staged]
+            elif mesh is not None and cp.block.mode != "F":
+                payloads = encode_blocks_list(
+                    [blk for _, blk, _, _ in staged], cp.block, mesh=mesh
+                )
+            elif group_n > 1 and cp.block.mode != "F":
+                payloads = encode_blocks_list(
+                    [blk for _, blk, _, _ in staged], cp.block,
+                    group=group_n,
+                )
+            else:
+                enc1 = _block_encoder(cp.block)
+                payloads = [enc1(blk) for _, blk, _, _ in staged]
+            for (raw_blk, blk, prefix, bflags), coded in zip(
+                staged, payloads
+            ):
+                payload = prefix + coded
+                if len(payload) >= raw_blk.size:  # stored fallback
+                    payload, bflags = raw_blk.tobytes(), BF_STORED
                 dst.write(
                     struct.pack(
-                        BLKHDR, raw_blk.size, len(body), bflags | BF_STORED,
-                        zlib.crc32(body) & 0xFFFFFFFF,
+                        BLKHDR, raw_blk.size, len(payload), bflags,
+                        zlib.crc32(payload) & 0xFFFFFFFF,
                     )
                 )
-                dst.write(body)
-                written += BLKHDR_LEN + len(body)
-            continue
-        if encode_fn is not None:
-            payloads = [encode_fn(blk) for _, blk, _, _ in staged]
-        elif mesh is not None and cp.block.mode != "F":
-            payloads = encode_blocks_list(
-                [blk for _, blk, _, _ in staged], cp.block, mesh=mesh
-            )
-        elif group_n > 1 and cp.block.mode != "F":
-            payloads = encode_blocks_list(
-                [blk for _, blk, _, _ in staged], cp.block, group=group_n
-            )
-        else:
-            enc1 = _block_encoder(cp.block)
-            payloads = [enc1(blk) for _, blk, _, _ in staged]
-        for (raw_blk, blk, prefix, bflags), coded in zip(staged, payloads):
-            payload = prefix + coded
-            if len(payload) >= raw_blk.size:  # stored fallback, raw bytes
-                payload, bflags = raw_blk.tobytes(), BF_STORED
-            dst.write(
-                struct.pack(
-                    BLKHDR, raw_blk.size, len(payload), bflags,
-                    zlib.crc32(payload) & 0xFFFFFFFF,
-                )
-            )
-            dst.write(payload)
-            written += BLKHDR_LEN + len(payload)
-            done += raw_blk.size
-            if progress:
-                progress(done, total)
+                dst.write(payload)
+                written += BLKHDR_LEN + len(payload)
+                done += raw_blk.size
+                if progress:
+                    progress(done, total)
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
     dst.write(struct.pack(BLKHDR, 0, 0, 0, 0))
     return written + BLKHDR_LEN
 
@@ -442,16 +458,26 @@ def _make_mesh_decode_fn(src, cp: ContainerParams, mesh, group: int = 1):
     ndev = int(mesh.devices.size) if mesh is not None else max(group, 1)
 
     def results():
-        for g in range(0, len(jobs), ndev):
-            grp = jobs[g : g + ndev]
-            outs = decode_blocks(
+        # device decode of group g+1 overlaps the host post-processing
+        # (dictionary expansion, filters, writes) of group g (P2)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def dec(grp):
+            return decode_blocks(
                 [p for p, _ in grp], [n for _, n in grp], cp.block,
                 mesh=mesh, group=ndev,
             )
-            off = 0
-            for _, n in grp:
-                yield outs[off : off + n]
-                off += n
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(dec, jobs[0:ndev])
+            for g in range(0, len(jobs), ndev):
+                outs = fut.result()
+                if g + ndev < len(jobs):
+                    fut = pool.submit(dec, jobs[g + ndev : g + 2 * ndev])
+                off = 0
+                for _, n in jobs[g : g + ndev]:
+                    yield outs[off : off + n]
+                    off += n
 
     it = results()
 
