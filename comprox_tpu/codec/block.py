@@ -774,7 +774,8 @@ def _bytes_eq_count(x):
 
 def sort_candidates(p: BlockParams, inp_flat, n, n_cands: int = 3,
                     ext: int = 0, ctx_bytes: int = 0,
-                    probe_from: int = 0):
+                    probe_from: int = 0, insert_dec: int = 1,
+                    insert_late: int = 3, fwd_chain: int = 0):
     """K causal previous-occurrence candidates per position, each with a
     word-extended match length.  Returns ([N] length, [N] src) pairs in
     position order, nearest occurrence first.
@@ -817,12 +818,23 @@ def sort_candidates(p: BlockParams, inp_flat, n, n_cands: int = 3,
     # invalid positions sort to the very end (and are masked below)
     h = jnp.where(valid, h, _u32(0xFFFFFFFF))
     hs, ps = jax.lax.sort((h, idx), num_keys=1, is_stable=True)
-    chain = max(probe_from, n_cands)
+    chain_b = max(probe_from, n_cands)
     prevs = []
-    for k in range(1, chain + 1):
+    for k in range(1, chain_b + 1):
         pk = jnp.concatenate([jnp.full((k,), -1, _i32), ps[:-k]])
         hk = jnp.concatenate([jnp.zeros((k,), _u32), hs[:-k]])
         prevs.append(jnp.where(hk == hs, pk, -1))
+    # FORWARD chain entries: positions later in POSITION order but (after
+    # the causality mask below) at strictly earlier decode steps — usable
+    # by the idx-coded mode 'R', where the decoder replays the bucket and
+    # never sees a distance.  This is the structural ROLZ advantage of
+    # lock-step lanes (CLAUDE.md); backward-only proposals measured 20%
+    # fewer covered bytes on dict-coded text.
+    for k in range(1, fwd_chain + 1):
+        pk = jnp.concatenate([ps[k:], jnp.full((k,), -1, _i32)])
+        hk = jnp.concatenate([hs[k:], jnp.zeros((k,), _u32)])
+        prevs.append(jnp.where(hk == hs, pk, -1))
+    chain = chain_b + fwd_chain
     cand_rows = (
         jnp.zeros((N, chain), _i32)
         .at[ps]
@@ -834,6 +846,8 @@ def sort_candidates(p: BlockParams, inp_flat, n, n_cands: int = 3,
         for k in range(chain):
             cand = cand_rows[:, k]
             ok = (cand >= 0) & ((cand % p.steps) < t_of)
+            if insert_dec > 1:
+                ok = ok & ((cand + insert_late) % insert_dec == 0)
             safe = jnp.clip(cand, 0, N - 1)
             m0 = _bytes_eq_count(w_all[safe] ^ w_all[:N])
             m1 = _bytes_eq_count(w_all[safe + 4] ^ w_all[4 : 4 + N])
@@ -863,6 +877,10 @@ def sort_candidates(p: BlockParams, inp_flat, n, n_cands: int = 3,
         # position order (cand < i) alone is NOT sufficient (see the
         # _rep_lengths causality note).
         ok = (cand >= 0) & ((cand % p.steps) < t_of)
+        if insert_dec > 1:
+            # proposals destined for bucket-membership checking (mode R):
+            # decimated inserts never enter buckets, so skip them here
+            ok = ok & ((cand + insert_late) % insert_dec == 0)
         safe = jnp.clip(cand, 0, N - 1)
         L = jnp.zeros((N,), _i32)
         alive = ok
@@ -1045,6 +1063,101 @@ def _dist_extra_events(dist, k_dist, has_extra):
 
 
 # --------------------------------------------------------------------------
+# Mode-'R' sort-assisted search: proposals from the ctx-keyed sort family
+# (positions that followed the same preceding context — the bucket's own
+# membership rule), then a LIGHT rank-replay scan that checks each
+# proposal against the real evolving bucket and reads off its recency
+# rank.  This removes the per-step probe + winner-extension window
+# gathers (the measured encode dominator, PERF.md r2 ledger) — the scan
+# keeps only the one bucket gather the decoder pays anyway plus the
+# insert scatter.  Proposals not in the bucket (evicted, decimated,
+# hash-collided) are dropped; lengths come from the vectorized extension.
+# --------------------------------------------------------------------------
+
+_R_FINDER = _os.environ.get("CPX_R_FINDER", "sort")
+_R_CANDS = int(_os.environ.get("CPX_R_CANDS", "4"))
+_R_PROBE = int(_os.environ.get("CPX_R_PROBE", "8"))
+
+
+def _rolz_rank_body(p: BlockParams, inp_pad, inp_w32, n, n_c, c, xs):
+    t = xs[0]
+    lanes = _lane_ids(p.lanes)
+    pos = lanes * p.steps + t
+    active = pos < n
+    cur_win = jax.lax.dynamic_slice(
+        inp_pad, (0, t), (p.lanes, p.window + 1)
+    ).astype(_i32)
+    byte = cur_win[:, 0]
+    rctx = _rolz_ctx(c, p)
+    ent = c["rolz_ent"][rctx]  # [S, D, 2]
+    rec = _recency_ranks(ent[..., 0])
+    fill = jnp.sum((ent[..., 0] > 0).astype(_i32), axis=1)
+    outs = []
+    for k in range(n_c):
+        l_k, s_k = xs[1 + 2 * k], xs[2 + 2 * k]
+        present = ent[..., 0] == (s_k + 1)[:, None]
+        in_b = jnp.any(present, axis=1)
+        rank = jnp.sum(jnp.where(present, rec, 0), axis=1)
+        valid = in_b & active & (t >= 7) & (l_k > 0)
+        outs += [jnp.where(valid, l_k, 0), s_k, rank]
+    # one cache-scored bucket candidate (the legacy search's phase 1 with
+    # top_k=1): recovers entries the sort proposals cannot name — bucket-
+    # hash collisions and deep-recency survivors — for ONE window gather
+    # per step instead of the legacy's five
+    nx = cur_win[:, :4].astype(_u32)
+    own_nx4 = nx[:, 0] | (nx[:, 1] << 8) | (nx[:, 2] << 16) | (nx[:, 3] << 24)
+    diff = ent[..., 1].astype(_u32) ^ own_nx4[:, None]
+    score = (
+        ((diff & 0xFF) == 0).astype(_i32)
+        + ((diff & 0xFFFF) == 0).astype(_i32)
+        + ((diff & 0xFFFFFF) == 0).astype(_i32)
+        + (diff == 0).astype(_i32)
+    )
+    score = jnp.where(ent[..., 0] > 0, score, -1)
+    rank_key = score * p.rolz_depth + (p.rolz_depth - 1 - rec)
+    slot = jnp.argmax(rank_key, axis=1)
+    src_b = _sel_along(ent[..., 0], slot) - 1
+    sc_b = _sel_along(score, slot)
+    cand_w = _gather_windows(inp_w32, jnp.maximum(src_b, 0), p.window)
+    len_b = _prefix_len(cur_win[:, : p.window], cand_w)
+    cap = jnp.minimum(
+        jnp.minimum(p.steps - t, n - pos),
+        min(p.window, p.min_len + ppm.LEN_W - 1),
+    )
+    valid_b = (sc_b == 4) & active & (t >= 7)
+    outs += [
+        jnp.where(valid_b, jnp.minimum(len_b, jnp.maximum(cap, 0)), 0),
+        src_b,
+        _sel_along(rec, slot),
+    ]
+    zero = jnp.zeros((p.lanes,), _i32)
+    c = _post_step(
+        c, t, n, p, pos, active, byte, jnp.zeros((p.lanes,), bool),
+        zero, zero, enc_side=False,
+    )
+    return c, tuple(outs) + (fill,)
+
+
+def _rolz_rank_scan(p: BlockParams, inp_pad, inp_w32, n, props):
+    """props: [(len [N], src [N])] -> (flat candidate triples [T, S]
+    l/s/idx each — the props, membership-checked, plus one cache-scored
+    bucket candidate — and fill [T, S])."""
+    carry = _init_carry(p, enc_side=True, search=True)
+
+    def grid(v):
+        return v.reshape(p.lanes, p.steps).T
+
+    xs = (jnp.arange(p.steps, dtype=_i32),) + tuple(
+        g for l, s in props for g in (grid(l), grid(s))
+    )
+    body = functools.partial(
+        _rolz_rank_body, p, inp_pad, inp_w32, n, len(props)
+    )
+    _, outs = jax.lax.scan(body, carry, xs)
+    return outs[:-1], outs[-1]
+
+
+# --------------------------------------------------------------------------
 # Encode pass 0: match-search scan + parse pass (modes 'R' and 'X')
 #
 # The reference searches and codes in one sequential loop, with flexible
@@ -1167,15 +1280,22 @@ def _cand_min_cost(p: BlockParams, cw, length, price):
 
 
 def _parse_body(p: BlockParams, n, cw, xs, n_c: int = 3):
-    """One backward-DP step: cost[t] and the decision at t.  'X' xs is
+    """One backward-DP step: cost[t] and the decision at t.
+
+    'R' xs is (t, l_1, s_1, idx_1, ..., l_{n_c}, s_{n_c}, idx_{n_c}) —
+    candidate triples with their bucket recency index.  'X' xs is
     (t, l_1, s_1, ..., l_{n_c}, s_{n_c}[, lrep, prev]) — the trailing
     pair (rep-extend length + expected prev distance) rides only on the
     rep-aware second parse iteration."""
     lanes = _lane_ids(p.lanes)
+    zero = jnp.zeros((p.lanes,), _i32)
     if p.mode == "R":
-        t, l1, s1, idx1 = xs
-        price1 = _P_RM + _P_RI * _rec_bucket(idx1)
-        cands = [(l1, s1, price1)]
+        t = xs[0]
+        cands = []
+        for i in range(n_c):
+            lx, sx, ix = xs[1 + 3 * i : 4 + 3 * i]
+            price = _P_RM + _P_RI * _rec_bucket(ix)
+            cands.append((lx, sx, ix, price))
         lit = _P_LIT_R
     else:
         t = xs[0]
@@ -1191,20 +1311,19 @@ def _parse_body(p: BlockParams, n, cw, xs, n_c: int = 3):
                 # normal candidates that happen to sit at the expected
                 # repeat distance also get the cheap price
                 price = jnp.where(d == prev, _P_XREP, price)
-            cands.append((lx, sx, price))
+            cands.append((lx, sx, zero, price))
         if has_rep:
             lrep = xs[-2]
             cands.append(
-                (lrep, pos - prev, jnp.full_like(prev, _P_XREP))
+                (lrep, pos - prev, zero, jnp.full_like(prev, _P_XREP))
             )
         lit = _P_LIT_X
     pos = lanes * p.steps + t
     active = pos < n
     cost_lit = lit + cw[:, 0]
-    best_cost, best_len, best_src = cost_lit, jnp.zeros_like(cost_lit), (
-        jnp.zeros_like(cost_lit)
-    )
-    for lx, sx, px in cands:
+    best_cost, best_len = cost_lit, jnp.zeros_like(cost_lit)
+    best_src, best_idx = jnp.zeros_like(cost_lit), jnp.zeros_like(cost_lit)
+    for lx, sx, ix, px in cands:
         cost_m, l_m = _cand_min_cost(p, cw, lx, px)
         # tie -> match (fewer coded symbols); cost_m == _P_INF means NO
         # admissible candidate and must never win even when the saturated
@@ -1212,6 +1331,7 @@ def _parse_body(p: BlockParams, n, cw, xs, n_c: int = 3):
         better = (cost_m <= best_cost) & (cost_m < _P_INF)
         best_len = jnp.where(better, l_m, best_len)
         best_src = jnp.where(better, sx, best_src)
+        best_idx = jnp.where(better, ix, best_idx)
         best_cost = jnp.minimum(best_cost, cost_m)
     # saturate stored cost-to-go so cw entries stay below _P_INF at any
     # block length (the DP loses exact pricing past the cap, never validity)
@@ -1219,7 +1339,7 @@ def _parse_body(p: BlockParams, n, cw, xs, n_c: int = 3):
     best_cost = jnp.where(active, best_cost, 0)
     best_len = jnp.where(active, best_len, 0)
     cw = jnp.concatenate([best_cost[:, None], cw[:, :-1]], axis=1)
-    return cw, (best_len, best_src)
+    return cw, (best_len, best_src, best_idx)
 
 
 def _greedy_decisions(p: BlockParams, n, outs):
@@ -1312,6 +1432,28 @@ def _search_and_parse(p: BlockParams, inp_pad, inp_flat, inp_w32, n):
     reference's last_match-first lookup, cr-matcher.c:246-249, expressed
     as a fixed-point-ish second DP pass)."""
     ts = jnp.arange(p.steps, dtype=_i32)
+    r_sort = (
+        p.mode == "R"
+        and _R_FINDER == "sort"
+        and p.flexible
+        and p.short_depth == 0
+    )
+    if r_sort:
+        def grid(v):
+            return v.reshape(p.lanes, p.steps).T
+
+        props = sort_candidates(
+            p, inp_flat, n, n_cands=_R_CANDS, probe_from=_R_PROBE,
+            ctx_bytes=p.rolz_ctx_bytes, insert_dec=p.rolz_dec,
+            fwd_chain=_R_PROBE,
+        )
+        outs, fill = _rolz_rank_scan(p, inp_pad, inp_w32, n, props)
+        cw0 = jnp.zeros((p.lanes, p.window), _i32)
+        parse = functools.partial(_parse_body, p, n, n_c=len(outs) // 3)
+        _, (take, src, idx) = jax.lax.scan(
+            parse, cw0, (ts,) + tuple(outs), reverse=True
+        )
+        return ts, take, src, idx, fill
     if p.mode == "X" and _X_FINDER == "sort":
         # whole-block sort-based candidates (no search scan): strictly
         # wider coverage than the recency-64 bucket walk — every causal
@@ -1352,16 +1494,19 @@ def _search_and_parse(p: BlockParams, inp_pad, inp_flat, inp_w32, n):
             if p.mode == "R"
             else (ts,) + tuple(outs)
         )
+        n_c = 1 if p.mode == "R" else len(outs) // 2
         cw0 = jnp.zeros((p.lanes, p.window), _i32)
-        parse = functools.partial(_parse_body, p, n, n_c=len(outs) // 2)
-        _, (take, src) = jax.lax.scan(parse, cw0, xs, reverse=True)
+        parse = functools.partial(_parse_body, p, n, n_c=n_c)
+        _, (take, src, _idx) = jax.lax.scan(parse, cw0, xs, reverse=True)
         if p.mode == "R":
             src = outs[1]  # single candidate: src is the search's
         else:
             prev_arr = _sim_prev_dist(p, ts, take, src)
             len_rep = _rep_lengths(p, inp_flat, n, ts, prev_arr)
             xs2 = xs + (len_rep, prev_arr)
-            _, (take, src) = jax.lax.scan(parse, cw0, xs2, reverse=True)
+            _, (take, src, _idx) = jax.lax.scan(
+                parse, cw0, xs2, reverse=True
+            )
     else:
         take, src = _greedy_decisions(p, n, outs)
     if p.mode == "R":

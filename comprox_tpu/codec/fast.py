@@ -124,7 +124,7 @@ def _fast_find_matches(p: BlockParams, inp_flat, n):
         xs = (ts,) + outs
         cw0 = jnp.zeros((p.lanes, p.window), _i32)
         parse = functools.partial(_parse_body, _search_params(p), n)
-        _, (take, src_g) = jax.lax.scan(parse, cw0, xs, reverse=True)
+        _, (take, src_g, _idx) = jax.lax.scan(parse, cw0, xs, reverse=True)
     else:
         take, src_g = _greedy_decisions(_search_params(p), n, outs)
     return ts, take, src_g

@@ -211,6 +211,6 @@ def test_parse_dp_no_candidate_never_wins():
     cw = jnp.full((p.lanes, p.window), B._P_INF - 1, jnp.int32)
     zero = jnp.zeros((p.lanes,), jnp.int32)
     xs = (zero, zero, zero, zero)  # t=0, length=0, src=0, idx=0
-    cw2, (take, src) = B._parse_body(p, p.capacity, cw, xs)
+    cw2, (take, src, _idx) = B._parse_body(p, p.capacity, cw, xs, n_c=1)
     assert int(np.asarray(take).max()) == 0, "bogus match with no candidate"
     assert int(np.asarray(cw2).max()) < B._P_INF, "stored cost not saturated"
