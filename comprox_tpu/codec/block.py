@@ -1279,14 +1279,17 @@ def _cand_min_cost(p: BlockParams, cw, length, price):
     return best // 256, l
 
 
-def _parse_body(p: BlockParams, n, cw, xs, n_c: int = 3):
+def _parse_body(p: BlockParams, n, cw, xs, n_c: int = 3, prices=None):
     """One backward-DP step: cost[t] and the decision at t.
 
     'R' xs is (t, l_1, s_1, idx_1, ..., l_{n_c}, s_{n_c}, idx_{n_c}) —
     candidate triples with their bucket recency index.  'X' xs is
     (t, l_1, s_1, ..., l_{n_c}, s_{n_c}[, lrep, prev]) — the trailing
     pair (rep-extend length + expected prev distance) rides only on the
-    rep-aware second parse iteration."""
+    rep-aware second parse iteration.  ``prices`` overrides the
+    (lit, match, per-dist-bucket, repeat) constants — the static-table
+    fast profile prices literals ~3x higher than the adaptive PPM does
+    (measured: X prices cost it 0.27 bpb)."""
     lanes = _lane_ids(p.lanes)
     zero = jnp.zeros((p.lanes,), _i32)
     if p.mode == "R":
@@ -1298,6 +1301,7 @@ def _parse_body(p: BlockParams, n, cw, xs, n_c: int = 3):
             cands.append((lx, sx, ix, price))
         lit = _P_LIT_R
     else:
+        lit, p_m, p_k, p_rep = prices or (_P_LIT_X, _P_XM, _P_XK, _P_XREP)
         t = xs[0]
         pos = lanes * p.steps + t
         has_rep = len(xs) > 1 + 2 * n_c
@@ -1306,18 +1310,17 @@ def _parse_body(p: BlockParams, n, cw, xs, n_c: int = 3):
         for i in range(n_c):
             lx, sx = xs[1 + 2 * i], xs[2 + 2 * i]
             d = jnp.maximum(pos - sx, 1)
-            price = _P_XM + _P_XK * _dist_bucket(d)
+            price = p_m + p_k * _dist_bucket(d)
             if has_rep:
                 # normal candidates that happen to sit at the expected
                 # repeat distance also get the cheap price
-                price = jnp.where(d == prev, _P_XREP, price)
+                price = jnp.where(d == prev, p_rep, price)
             cands.append((lx, sx, zero, price))
         if has_rep:
             lrep = xs[-2]
             cands.append(
-                (lrep, pos - prev, zero, jnp.full_like(prev, _P_XREP))
+                (lrep, pos - prev, zero, jnp.full_like(prev, p_rep))
             )
-        lit = _P_LIT_X
     pos = lanes * p.steps + t
     active = pos < n
     cost_lit = lit + cw[:, 0]

@@ -102,6 +102,20 @@ _F_EXT = int(_os.environ.get("CPX_F_EXT", "64"))  # word-extension cap
 # (bytes): shallower than mode 'X' (speed profile); longer matches
 # continue as repeat-distance chains or via the diagonal-run recovery
 
+# parse prices for the STATIC-table profile, fifths of a bit: literals
+# cost their static entropy (~5-6 b), not the adaptive PPM's ~2 b —
+# using X's prices measured +0.27 bpb (2MiB: 1.635 vs 1.361); greedy
+# parse sat between (1.519).  Swept lit 22-28 / xm 35-45: flat optimum.
+_F_PRICES = tuple(
+    int(_os.environ.get(k, d))
+    for k, d in (
+        ("CPX_F_PARSE_LIT", "28"),
+        ("CPX_F_PARSE_M", "45"),
+        ("CPX_F_PARSE_K", "6"),
+        ("CPX_F_PARSE_REP", "30"),
+    )
+)
+
 
 def _fast_find_matches(p: BlockParams, inp_flat, n):
     """Candidates + parse for every position, scan-free (the shared
@@ -123,7 +137,9 @@ def _fast_find_matches(p: BlockParams, inp_flat, n):
     if p.flexible:
         xs = (ts,) + outs
         cw0 = jnp.zeros((p.lanes, p.window), _i32)
-        parse = functools.partial(_parse_body, _search_params(p), n)
+        parse = functools.partial(
+            _parse_body, _search_params(p), n, prices=_F_PRICES
+        )
         _, (take, src_g, _idx) = jax.lax.scan(parse, cw0, xs, reverse=True)
     else:
         take, src_g = _greedy_decisions(_search_params(p), n, outs)
