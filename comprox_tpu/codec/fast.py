@@ -43,7 +43,9 @@ from comprox_tpu.codec.block import (
     _lane_ids,
     _pack_words,
     _parse_body,
+    _rep_lengths,
     _search_and_parse,
+    _sim_prev_dist,
 )
 from comprox_tpu.models import tables as tb
 from comprox_tpu.ops import rans
@@ -141,6 +143,20 @@ def _fast_find_matches(p: BlockParams, inp_flat, n):
             _parse_body, _search_params(p), n, prices=_F_PRICES
         )
         _, (take, src_g, _idx) = jax.lax.scan(parse, cw0, xs, reverse=True)
+        if _os.environ.get("CPX_F_REP", "0") == "1":
+            # rep-aware second iteration (block.py _search_and_parse):
+            # repeat-distance matches cost one hot A symbol, no mantissa.
+            # Measured ratio-NEGATIVE for the static profile at every rep
+            # price (1.412/1.405/1.385 at rep 30/45/60 vs 1.361 without —
+            # rep matches displace regular ones and dilute the A table);
+            # knob kept for the record, default off
+            ts_ = jnp.arange(p.steps, dtype=_i32)
+            prev_arr = _sim_prev_dist(p, ts_, take, src_g)
+            len_rep = _rep_lengths(p, inp_flat, n, ts_, prev_arr)
+            xs2 = xs + (len_rep, prev_arr)
+            _, (take, src_g, _idx) = jax.lax.scan(
+                parse, cw0, xs2, reverse=True
+            )
     else:
         take, src_g = _greedy_decisions(_search_params(p), n, outs)
     return ts, take, src_g
