@@ -1034,6 +1034,74 @@ def _match_window_len(inp_w32, pos, src, t, n, p: BlockParams,
     return jnp.minimum(length, cap)
 
 
+# --------------------------------------------------------------------------
+# Distance-mantissa top-bits model (mode 'X', format rev 4): the top 4
+# mantissa bits of a distance are far from uniform (distances cluster),
+# and the reference codes whole distances through adaptive digit models
+# (roxmain/cr-coder.c:242-258).  For buckets k in [5, 16] the D event
+# codes the top 4 bits through a [16, 16] adaptive table whose reads AND
+# updates are exact one-hot matmuls — no random access; the E event
+# carries the remaining k-4 uniform bits.  k <= 4 and k > 16 keep the
+# pure-uniform hi/lo split.
+# --------------------------------------------------------------------------
+
+
+def _mant_read(tbs, mctx):
+    oh = (
+        jax.lax.broadcasted_iota(_i32, (mctx.shape[0], 16), 1)
+        == mctx[:, None]
+    )
+    rows = _exact_onehot_matmul(oh, tbs["mant"])
+    cums = tb.exclusive_cumsum(rows)
+    tot = jnp.sum(rows, axis=1)
+    return oh, rows, cums, tot
+
+
+def _mant_update(tbs, oh_ctx, sym, act):
+    """Shared (encode == decode) mant update: additive counts, so same-
+    step collisions sum deterministically; halve rows past the cap."""
+    s = sym.shape[0]
+    upd = (
+        (jax.lax.broadcasted_iota(_i32, (s, 16), 1) == sym[:, None])
+        & act[:, None]
+    ).astype(_i32) * ppm.MANT_INC
+    tab = tbs["mant"] + _exact_onehot_matmul(oh_ctx.T, upd)
+    tot = jnp.sum(tab, axis=1, keepdims=True)
+    tab = jnp.where(tot > ppm.MANT_CAP, (tab + 1) >> 1, tab)
+    return {**tbs, "mant": tab}
+
+
+def _mant_events_enc(tbs, dist, k_dist, has_extra):
+    """Encode-side D/E events + the mant table update."""
+    e = dist - jnp.left_shift(jnp.ones_like(dist), k_dist)
+    adaptive = has_extra & (k_dist >= 5) & (k_dist <= 16)
+    top4 = (e >> jnp.maximum(k_dist - 4, 0)) & 15
+    mctx = jnp.clip(k_dist - 5, 0, 11)
+    oh, rows, cums, tot = _mant_read(tbs, mctx)
+    cm_raw, fm_raw = tb.cum_frq_of(rows, cums, top4)
+    cm, fm = rans.norm_cf(
+        cm_raw, jnp.maximum(fm_raw, 1), jnp.maximum(tot, 1)
+    )
+    b_hi = jnp.where(k_dist > 16, k_dist - 12, 0)
+    b_lo_u = jnp.minimum(k_dist, 12)
+    e_hi_u = (e >> b_lo_u).astype(_u32)
+    fd_u = jnp.left_shift(jnp.uint32(1), (15 - b_hi).astype(_u32))
+    act_d = has_extra & (adaptive | (b_hi > 0))
+    cd = jnp.where(adaptive, cm.astype(_u32), e_hi_u * fd_u)
+    fd = jnp.where(adaptive, fm.astype(_u32), fd_u)
+    cd, fd = rans.select_cf(act_d, cd, fd)
+    b_e = jnp.where(adaptive, k_dist - 4, b_lo_u)
+    e_lo = (e & (jnp.left_shift(jnp.ones_like(e), b_e) - 1)).astype(_u32)
+    act_e = has_extra & (b_e > 0)
+    fe = jnp.left_shift(jnp.uint32(1), (15 - b_e).astype(_u32))
+    ce, fe = rans.select_cf(act_e, e_lo * fe, fe)
+    tbs = _mant_update(tbs, oh, top4, adaptive)
+    return (
+        cd.astype(jnp.uint16), fd.astype(jnp.uint16), act_d,
+        ce.astype(jnp.uint16), fe.astype(jnp.uint16), act_e, tbs,
+    )
+
+
 def _dist_extra_events(dist, k_dist, has_extra):
     """Uniform rANS events carrying a distance's mantissa bits: e_hi (up to
     12 bits) and e_lo (up to 12 bits); dist = 2^k + (e_hi << b_lo) + e_lo.
@@ -1659,6 +1727,14 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
         o2_halve_delta=o2_hd, len_ctx=len_ctx, idx_ctx=idx_ctx,
         o3_raw=o3raw, pred2=pred2, conf2=conf2,
     )
+    extra = []
+    if p.mode == "X":
+        # D/E events read the step-start mant table (apply_updates never
+        # touches it) and fold their own update into tbs
+        cd, fd, act_d, ce, fe, act_e, tbs = _mant_events_enc(
+            tbs, dist, k_dist, is_match & ~repeat
+        )
+        extra = [cd, fd, act_d, ce, fe, act_e]
     c = dict(c)
     c["tables"] = tbs
     c = _post_step(
@@ -1675,12 +1751,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
         cc.astype(jnp.uint16),
         fc.astype(jnp.uint16),
         is_match,
-    ]
-    if p.mode == "X":
-        cd, fd, act_d, ce, fe, act_e = _dist_extra_events(
-            dist, k_dist, is_match & ~repeat
-        )
-        out += [cd, fd, act_d, ce, fe, act_e]
+    ] + extra
     out += [
         sym_a.astype(jnp.int16),
         jnp.where(is_match, length, 0).astype(jnp.int16),
@@ -1848,32 +1919,52 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     cc, fc = rans.select_cf(is_match, cc, fc)
     x, step_off = advance(x, step_off, cc, fc)
 
-    # ---- D/E events: distance mantissa bits (mode 'X')
+    # ---- D/E events: distance mantissa (mode 'X'): adaptive top-4 bits
+    # for buckets 5..16 (see _mant_events_enc), uniform otherwise
     dist = jnp.ones((p.lanes,), _i32)
+    mant_upd = None
     if p.mode == "X":
         repeat = is_match & (sym_dst == SYM_DST_REPEAT)
         # clamp: garbage sym_dst on non-match lanes must not drive shift
         # amounts negative (div-by-zero on masked lanes)
         k_dist = jnp.clip(jnp.where(repeat, 0, sym_dst), 0, 24)
-        b_lo = jnp.minimum(k_dist, 12)
-        b_hi = k_dist - b_lo
         has_extra = is_match & ~repeat
-        act_d = has_extra & (b_hi > 0)
+        adaptive = has_extra & (k_dist >= 5) & (k_dist <= 16)
+        mctx = jnp.clip(k_dist - 5, 0, 11)
+        oh_m, rows_m, cums_m, tot_m = _mant_read(tbs, mctx)
+        slot_d = rans.dec_slot(x)
+        tgt_m = rans.dec_target(slot_d, jnp.maximum(tot_m, 1))
+        sym_m, cm_raw, fm_raw = tb.find_symbol(
+            rows_m, cums_m, tgt_m.astype(_i32)
+        )
+        cm, fm = rans.norm_cf(
+            cm_raw, jnp.maximum(fm_raw, 1), jnp.maximum(tot_m, 1)
+        )
+        b_hi = jnp.where(k_dist > 16, k_dist - 12, 0)
+        b_lo = jnp.minimum(k_dist, 12)
+        act_d = has_extra & (adaptive | (b_hi > 0))
         fd = jnp.left_shift(jnp.uint32(1), (15 - b_hi).astype(_u32))
-        e_hi = jnp.where(act_d, rans.dec_slot(x) // fd, 0).astype(_i32)
-        cdx, fdx = rans.select_cf(act_d, e_hi.astype(_u32) * fd, fd)
+        e_hi = jnp.where(
+            has_extra & (b_hi > 0), slot_d // fd, 0
+        ).astype(_i32)
+        cdx = jnp.where(adaptive, cm.astype(_u32), e_hi.astype(_u32) * fd)
+        fdx = jnp.where(adaptive, fm.astype(_u32), fd)
+        cdx, fdx = rans.select_cf(act_d, cdx, fdx)
         x, step_off = advance(x, step_off, cdx, fdx)
-        act_e = has_extra & (b_lo > 0)
-        fe = jnp.left_shift(jnp.uint32(1), (15 - b_lo).astype(_u32))
+        b_e = jnp.where(adaptive, k_dist - 4, b_lo)
+        act_e = has_extra & (b_e > 0)
+        fe = jnp.left_shift(jnp.uint32(1), (15 - b_e).astype(_u32))
         e_lo = jnp.where(act_e, rans.dec_slot(x) // fe, 0).astype(_i32)
         cex, fex = rans.select_cf(act_e, e_lo.astype(_u32) * fe, fe)
         x, step_off = advance(x, step_off, cex, fex)
-        dist_dec = (
-            jnp.left_shift(jnp.ones_like(k_dist), k_dist)
-            + jnp.left_shift(e_hi, b_lo)
-            + e_lo
+        mant = jnp.where(
+            adaptive,
+            jnp.left_shift(sym_m, jnp.maximum(k_dist - 4, 0)) + e_lo,
+            jnp.left_shift(e_hi, b_lo) + e_lo,
         )
+        dist_dec = jnp.left_shift(jnp.ones_like(k_dist), k_dist) + mant
         dist = jnp.where(repeat, c["prev_dist"], dist_dec)
+        mant_upd = (oh_m, jnp.where(adaptive, sym_m, 0), adaptive)
 
     # ---- resolve the byte
     if p.mode == "R":
@@ -1908,6 +1999,8 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
         o2_halve_delta=o2_hd, len_ctx=len_ctx, idx_ctx=idx_ctx,
         o3_raw=o3raw, pred2=pred2, conf2=conf2,
     )
+    if mant_upd is not None:
+        tbs = _mant_update(tbs, *mant_upd)
     c = dict(c)
     c["tables"] = tbs
     c = _post_step(

@@ -68,6 +68,10 @@ IDX_CAP = 24576
 DST_INC = _env("DST_INC", 16)  # LZ77 distance-bucket model (~roxmain's
 DST_CAP = 24576  # chained pos_models, roxmain/cr-coder.c:242-258)
 DST_W = 32  # buckets 0..23 = bit_length(dist)-1, 24 = repeat-prev
+MANT_INC = _env("MANT_INC", 24)  # LZ77 distance-mantissa top-4-bits model
+MANT_CAP = _env("MANT_CAP", 8192)  # (the adaptive analogue of roxmain's
+# base-128/64 pos-model DIGITS, cr-coder.c:242-258: distances cluster, so
+# the top mantissa bits are far from uniform)
 N_SHARED_CTX = 4  # context buckets for the len/idx shared models
 IDX_W = 80  # 64 main recency ranks + 16 short-table ranks (rolzmain
 # cr-matcher.c: M_rolz_indices + M_rolz_indices_short)
@@ -104,6 +108,10 @@ def init_tables(match_enabled: bool, o3_bits: int = 22) -> dict:
         "len": jnp.ones((N_SHARED_CTX, LEN_W), _i32),
         "idx": jnp.ones((N_SHARED_CTX, IDX_W), _i32),
         "dst": jnp.ones((DST_W,), _i32),
+        # distance-mantissa top-4-bits model, one row per dist bucket
+        # k-5 in [0, 12); tiny and dense — reads AND updates are exact
+        # one-hot matmuls, no random access (block.py _mant_read/update)
+        "mant": jnp.ones((16, 16), _i32),
     }
 
 
@@ -142,9 +150,10 @@ CONF_BOOST = _env("CONF_BOOST", 0)
 
 # Bumped when table-arithmetic CODE changes alter the stream format (e.g.
 # the round-2 o3 collision rule: summed row deltas replaced winner-dedup
-# writes; rev 3 = 2-way o3 entries + SYM_HIT2).  Rides format_fingerprint
-# so old archives fail cleanly.
-FORMAT_REV = 3
+# writes; rev 3 = 2-way o3 entries + SYM_HIT2; rev 4 = adaptive distance-
+# mantissa top bits in mode 'X').  Rides format_fingerprint so old
+# archives fail cleanly.
+FORMAT_REV = 4
 
 
 def format_fingerprint() -> int:
@@ -157,8 +166,8 @@ def format_fingerprint() -> int:
 
     knobs = (
         INC2, CAP2, INC1, CAP1, LEN_INC, LEN_CAP, IDX_INC, IDX_CAP,
-        DST_INC, DST_CAP, DST_W, N_SHARED_CTX, IDX_W, LEN_W, O2_W,
-        CONF_BOOST, FORMAT_REV,
+        DST_INC, DST_CAP, DST_W, MANT_INC, MANT_CAP, N_SHARED_CTX,
+        IDX_W, LEN_W, O2_W, CONF_BOOST, FORMAT_REV,
         O2_MAXCAP, O2_EE, O3_GROUPS, O3_GROUPUPD, O3_2WAY,
     )
     return zlib.crc32(repr(knobs).encode()) & 0xFFFFFFFF
