@@ -48,8 +48,6 @@ def main() -> None:
         )
         cp = ContainerParams(codec=mode.encode(), block=bp)
         for g in groups:
-            if mode == "F" and g > 1:
-                continue  # F has no batched path yet
             try:
                 # warmup / compile
                 warm = data[: min(bp.capacity, 1 << 20)]

@@ -248,9 +248,10 @@ def encode_stream(
     if mesh is not None:
         group_n = int(mesh.devices.size)
         from comprox_tpu.parallel.mesh import encode_blocks_list
-    elif group > 1 and cp.block.mode != "F":
+    elif group > 1:
         group_n = int(group)
-        from comprox_tpu.parallel.mesh import encode_blocks_list
+        if cp.block.mode != "F":
+            from comprox_tpu.parallel.mesh import encode_blocks_list
     else:
         group_n = 1
     blocks_it = iter_blocks(src, cp.block.capacity)
@@ -294,6 +295,12 @@ def encode_stream(
                 payloads = encode_blocks_list(
                     [blk for _, blk, _, _ in staged], cp.block,
                     group=group_n,
+                )
+            elif group_n > 1:
+                from comprox_tpu.codec.fast import encode_blocks_fast
+
+                payloads = encode_blocks_fast(
+                    [blk for _, blk, _, _ in staged], cp.block, group_n
                 )
             else:
                 enc1 = _block_encoder(cp.block)
@@ -354,7 +361,7 @@ def decode_stream(
     if (
         (mesh is not None or group > 1)
         and decode_fn is None
-        and cp.block.mode != "F"
+        and (cp.block.mode != "F" or mesh is None)
     ):
         # prescan must start at the first block header (after the dict blob)
         decode_fn = _make_mesh_decode_fn(src, cp, mesh, group)
@@ -463,6 +470,13 @@ def _make_mesh_decode_fn(src, cp: ContainerParams, mesh, group: int = 1):
         from concurrent.futures import ThreadPoolExecutor
 
         def dec(grp):
+            if cp.block.mode == "F":
+                from comprox_tpu.codec.fast import decode_blocks_fast
+
+                return decode_blocks_fast(
+                    [p for p, _ in grp], [n for _, n in grp], cp.block,
+                    ndev,
+                )
             return decode_blocks(
                 [p for p, _ in grp], [n for _, n in grp], cp.block,
                 mesh=mesh, group=ndev,

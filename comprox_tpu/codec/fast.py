@@ -408,6 +408,127 @@ def _fast_decode_scan(p: BlockParams, a_freq, l_freq, states, stream, n):
 _TAB_BYTES = 2 * (W_A + W_L)
 
 
+# ---- single-chip block batching (the mode-F counterpart of
+# parallel/mesh.py's vmap path; payloads bit-identical to sequential) ----
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _encode_fast_vmap(p: BlockParams, inp, n):
+    def one(blk, nn):
+        return _encode_fast(p, blk, nn)
+
+    return jax.vmap(one)(inp, n)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _fast_decode_vmap(p: BlockParams, a_freq, l_freq, states, streams, n):
+    def one(a, l, st, sm, nn):
+        return _fast_decode_scan(p, a, l, st, sm, nn)
+
+    return jax.vmap(one)(a_freq, l_freq, states, streams, n)
+
+
+def encode_blocks_fast(
+    blocks: list, p: BlockParams, group: int
+) -> list:
+    """Encode a list of blocks in vmap-batched groups of ``group``."""
+    import zlib
+
+    out = []
+    for g in range(0, len(blocks), group):
+        grp = blocks[g : g + group]
+        buf = np.zeros((group, p.lanes, p.steps), np.uint8)
+        ns = np.zeros((group,), np.int32)
+        for i, blk in enumerate(grp):
+            buf[i].reshape(-1)[: blk.size] = blk
+            ns[i] = blk.size
+        af, lf, states, emitp, words = map(
+            np.asarray,
+            _encode_fast_vmap(p, jnp.asarray(buf), jnp.asarray(ns)),
+        )
+        emit = np.unpackbits(emitp, axis=-1, bitorder="little").astype(
+            bool
+        )
+        for i, blk in enumerate(grp):
+            stream = words[i][emit[i]]
+            crc = zlib.crc32(blk.tobytes()) & 0xFFFFFFFF
+            out.append(
+                np.array([stream.size], np.uint32).tobytes()
+                + np.array([crc], np.uint32).tobytes()
+                + af[i].astype("<u2").tobytes()
+                + lf[i].astype("<u2").tobytes()
+                + states[i].astype("<u4").tobytes()
+                + stream.astype("<u2").tobytes()
+            )
+    return out
+
+
+def decode_blocks_fast(
+    payloads: list, ns: list, p: BlockParams, group: int
+) -> np.ndarray:
+    """Decode F-block payloads in vmap-batched groups; validates each
+    block's drain, stream count and content CRC like decode_block_fast."""
+    import zlib
+
+    nblk = len(payloads)
+    npad = -(-max(nblk, 1) // group) * group
+    a_freq = np.zeros((npad, W_A), np.int32)
+    a_freq[:, 0] = M  # valid dummy tables for padded blocks
+    l_freq = np.zeros((npad, W_L), np.int32)
+    l_freq[:, 0] = M
+    states = np.full((npad, p.lanes), RANS_L, np.uint32)
+    streams = np.zeros((npad, p.stream_pad), np.uint16)
+    n_arr = np.zeros((npad,), np.int32)
+    n_words = np.zeros((npad,), np.int64)
+    crcs = np.zeros((npad,), np.uint32)
+    need = 8 + _TAB_BYTES + 4 * p.lanes
+    for b, payload in enumerate(payloads):
+        if ns[b] <= 0 or ns[b] > p.capacity or len(payload) < need:
+            raise ValueError("corrupt block: bad fast-block payload")
+        (nw,) = np.frombuffer(payload[:4], "<u4")
+        (crcs[b],) = np.frombuffer(payload[4:8], "<u4")
+        off = 8
+        a_freq[b] = np.frombuffer(payload[off : off + 2 * W_A], "<u2")
+        off += 2 * W_A
+        l_freq[b] = np.frombuffer(payload[off : off + 2 * W_L], "<u2")
+        off += 2 * W_L
+        if int(a_freq[b].sum()) != M or int(l_freq[b].sum()) != M:
+            raise ValueError("corrupt block: static table sums != M")
+        states[b] = np.frombuffer(payload[off : off + 4 * p.lanes], "<u4")
+        off += 4 * p.lanes
+        words = np.frombuffer(payload[off : off + 2 * int(nw)], "<u2")
+        if words.size != nw or int(nw) > p.stream_pad:
+            raise ValueError("corrupt block: stream exceeds geometry bound")
+        streams[b, : int(nw)] = words
+        n_arr[b] = ns[b]
+        n_words[b] = nw
+    pieces = []
+    for g in range(0, npad, group):
+        sl = slice(g, g + group)
+        x, base, outg = map(
+            np.asarray,
+            _fast_decode_vmap(
+                p,
+                jnp.asarray(a_freq[sl]),
+                jnp.asarray(l_freq[sl]),
+                jnp.asarray(states[sl]),
+                jnp.asarray(streams[sl]),
+                jnp.asarray(n_arr[sl]),
+            ),
+        )
+        for i in range(group):
+            b = g + i
+            if b >= nblk:
+                continue
+            if int(base[i]) != n_words[b] or not (x[i] == RANS_L).all():
+                raise ValueError(f"corrupt block {b}: drain check failed")
+            res = outg[i].reshape(-1)[: ns[b]]
+            if (zlib.crc32(res.tobytes()) & 0xFFFFFFFF) != int(crcs[b]):
+                raise ValueError(f"corrupt block {b}: content CRC mismatch")
+            pieces.append(res)
+    return np.concatenate(pieces) if pieces else np.zeros(0, np.uint8)
+
+
 def encode_block_fast(data: np.ndarray, p: BlockParams) -> bytes:
     n = int(data.size)
     assert 0 < n <= p.capacity

@@ -104,3 +104,35 @@ def test_fuzzed_payload_fails_clean():
             continue
         # a flip that doesn't raise must not corrupt silently
         assert out.tobytes() == data.tobytes()
+
+
+def test_fast_group_batched_matches_sequential():
+    """F-mode single-chip block batching must produce byte-identical
+    archives and round-trip through the batched decode path."""
+    import io
+
+    import numpy as np
+
+    from comprox_tpu.codec.block import BlockParams
+    from comprox_tpu.codec.container import (
+        ContainerParams,
+        decode_stream,
+        encode_stream,
+    )
+
+    rng = np.random.default_rng(21)
+    words = [b"fast ", b"static ", b"tables ", b"blocks ", b"entropy "]
+    buf = b"".join(words[rng.integers(0, len(words))] for _ in range(4000))
+    data = np.frombuffer(buf, np.uint8)[: 2048 * 5 + 123].copy()
+    cp = ContainerParams(codec=b"F", block=BlockParams(
+        lanes=8, steps=256, mode="F", min_len=6, window=32,
+        o3_bits=12, rolz_bits=10, rolz_depth=16,
+    ))
+    seq, bat = io.BytesIO(), io.BytesIO()
+    encode_stream(data, seq, cp, dictionary=False)
+    encode_stream(data, bat, cp, dictionary=False, group=3)
+    assert seq.getvalue() == bat.getvalue()
+    bat.seek(0)
+    out = io.BytesIO()
+    decode_stream(bat, out, group=3)
+    assert out.getvalue() == data.tobytes()
