@@ -728,6 +728,9 @@ _SORT_EXT = int(_os.environ.get("CPX_SORT_EXT", "250"))
 # mode-'X' candidate source: 'sort' = this finder; 'scan' = the round-2
 # per-step bucket search (kept for sweeps/regression comparison)
 _X_FINDER = _os.environ.get("CPX_X_FINDER", "sort")
+# debug-only: capture side-event symbols/contexts in the encode debug
+# grids for offline ratio probes (benchmarks/ctx_probe.py)
+_DEBUG_EVT = _os.environ.get("CPX_DEBUG_EVT", "") == "1"
 
 
 def _rev_runmin(m, inf):
@@ -1756,6 +1759,15 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
         sym_a.astype(jnp.int16),
         jnp.where(is_match, length, 0).astype(jnp.int16),
     ]
+    if _DEBUG_EVT:
+        # ratio-probe capture (CPX_DEBUG_EVT=1): per-step side-event
+        # symbols + candidate contexts, consumed by offline numpy model
+        # simulations (benchmarks/ctx_probe.py) — never by the format
+        out += [
+            (sym_dst if p.mode == "X" else sym_idx).astype(jnp.int16),
+            (dist if p.mode == "X" else rolz_fill),
+            p1.astype(jnp.int16),
+        ]
     return c, tuple(out)
 
 
