@@ -62,6 +62,17 @@ def build_corpus(n_bytes: int) -> np.ndarray:
                 total += len(b)
                 if total >= n_bytes:
                     break
+    if total < n_bytes and chunks:
+        # enwik9-class sizes exceed the ~511 MB of real text on this image:
+        # tile the real content cyclically.  Blocks are independent (models
+        # reset per block), so repeated content re-runs the same work per
+        # block — honest for speed/memory/scale claims (noted in PERF.md)
+        base = list(chunks)
+        i = 0
+        while total < n_bytes:
+            chunks.append(base[i % len(base)])
+            total += len(base[i % len(base)])
+            i += 1
     if total < n_bytes:
         rng = np.random.default_rng(42)
         words = [b"the ", b"compression ", b"of ", b"data ", b"blocks ",
