@@ -1257,7 +1257,13 @@ _P_XK = int(_os.environ.get("CPX_PARSE_XK", "6"))  # per distance bucket
 _P_XREP = int(_os.environ.get("CPX_PARSE_XREP", "45"))  # repeat-distance
 # match: no mantissa bits, one hot SYM_DST_REPEAT symbol (the analogue of
 # the reference's last_match preference, cr-matcher.c:246-249,314-317)
-_P_INF = 1 << 20
+# Cost-to-go ceiling for the flexible-parse DP.  Upper bound: the
+# *256 key packing in _cand_min_cost needs _P_INF*256 < 2^31, so
+# _P_INF <= 2^23.  2^22 keeps exact pricing to ~300k all-literal steps
+# (128 MiB blocks at S=512); beyond that costs saturate — the DP loses
+# pricing fidelity near the block head but never validity (see
+# _cand_min_cost).  Encoder policy only, not format.
+_P_INF = 1 << 22
 
 
 def x_hash6(win):

@@ -188,8 +188,8 @@ def test_parse_dp_cost_saturation(monkeypatch):
     (no real candidates to hide behind)."""
     from comprox_tpu.codec import block as B
 
-    # 4096 * 400 = 1.6M > _P_INF = 2^20: overflow by step ~2600
-    monkeypatch.setattr(B, "_P_LIT_R", 400)
+    # 4096 * 1200 = 4.9M > _P_INF = 2^22: overflow by step ~3500
+    monkeypatch.setattr(B, "_P_LIT_R", 1200)
     p = BlockParams(lanes=8, steps=4096, mode="R", min_len=5, window=32,
                     o3_bits=14, rolz_bits=10, rolz_depth=16)
     data = np.random.default_rng(99).integers(
