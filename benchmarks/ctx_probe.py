@@ -39,7 +39,7 @@ def capture(mode: str, size: int = 2 << 20):
     n = int(sub.size)
     buf = np.zeros((p.lanes, p.steps), np.uint8)
     buf.reshape(-1)[:n] = sub
-    _, _, _, dbg = _encode_passes(p, jnp.asarray(buf), jnp.int32(n))
+    _, _, _, dbg, _ = _encode_passes(p, jnp.asarray(buf), jnp.int32(n))
     g = [np.asarray(x) for x in dbg]
     ns = p.n_slots
     sym_a = g[3 * ns]          # [T, S]

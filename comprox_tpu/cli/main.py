@@ -47,6 +47,11 @@ switches:
   -f     flexible parsing: price-DP parse choosing literal vs any match
          truncation (ref roxmain -f; ON by default here — the DP is a
          cheap backward scan).  -f0 falls back to greedy+lazy parsing.
+  -c     chain mode: carry the adaptive models across blocks (the
+         reference's once-per-file model reset, src/main.c:174-206).
+         Best ratio at multi-block sizes; encode AND decode become
+         sequential over blocks (no -j/-g parallelism).  Decode
+         auto-detects chained archives.
 """
 
 CODEC_BYTE = {"crp": b"P", "crx": b"X", "crz": b"R", "crf": b"F"}
@@ -58,9 +63,11 @@ def parse_args(argv):
     switches = [a for a in argv[1:] if a != "-" and a.startswith("-")]
     opts = {"block_mb": 16, "lanes": 256, "filters": False, "quiet": False,
             "precomp": False, "jobs": 0, "group": 1, "window": 250,
-            "depth": 40, "flexible": True}
+            "depth": 40, "flexible": True, "chain": False}
     for s in switches:
-        if s.startswith("-b"):
+        if s == "-c":
+            opts["chain"] = True
+        elif s.startswith("-b"):
             opts["block_mb"] = float(s[2:])
         elif s.startswith("-l"):
             opts["lanes"] = int(s[2:])
@@ -164,7 +171,7 @@ def run(codec_name: str, argv) -> int:
             csize = encode_stream(
                 data, f, cp, filters=opts["filters"], mesh=mesh,
                 group=opts["group"], precomp_only=opts["precomp"],
-                progress=meter.update,
+                chain=opts["chain"], progress=meter.update,
             )
         finally:
             if outp != "-":

@@ -1778,14 +1778,19 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _encode_passes(p: BlockParams, inp, n):
+def _encode_passes(p: BlockParams, inp, n, tables0=None):
     """Pass 1 (modeling) + pass 2 (backward rANS).  Returns device arrays:
     (states [S] u32, emit [T,n_slots,S] bool, words [T,n_slots,S] u16,
-    debug)."""
+    debug, final PPM tables).  ``tables0`` overrides the fresh per-block
+    PPM tables — the chain mode's model carry-over (the reference resets
+    models once per FILE, src/main.c:174-206; match tables still reset
+    per block, matching its per-block matcher_init)."""
     inp_flat = inp.reshape(-1)
     inp_w32 = _pack_words(inp_flat)
     inp_pad = jnp.pad(inp, ((0, 0), (0, p.window + 1)))
     carry = _init_carry(p, enc_side=True)
+    if tables0 is not None:
+        carry["tables"] = tables0
     body = functools.partial(
         _encode_model_body, p, inp_pad, inp_flat, inp_w32, n
     )
@@ -1822,7 +1827,7 @@ def _encode_passes(p: BlockParams, inp, n):
     eb = emit.astype(jnp.uint8).reshape(p.steps, n_slots, p.lanes // 8, 8)
     shifts = jnp.arange(8, dtype=jnp.uint8)
     emit_packed = jnp.sum(eb << shifts, axis=-1).astype(jnp.uint8)
-    return x, emit_packed, words, ev
+    return x, emit_packed, words, ev, carry["tables"]
 
 
 # --------------------------------------------------------------------------
@@ -2031,9 +2036,12 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _decode_scan(p: BlockParams, states, stream, n):
+def _decode_scan(p: BlockParams, states, stream, n, tables0=None):
+    c0 = _init_carry(p, enc_side=False)
+    if tables0 is not None:
+        c0["tables"] = tables0
     carry = (
-        _init_carry(p, enc_side=False),
+        c0,
         states,
         jnp.uint32(0),
         jnp.zeros((p.lanes, p.steps), jnp.uint8),
@@ -2042,7 +2050,7 @@ def _decode_scan(p: BlockParams, states, stream, n):
     (c, x, base, out), _ = jax.lax.scan(
         body, carry, jnp.arange(p.steps, dtype=_i32)
     )
-    return x, base, out
+    return x, base, out, c["tables"]
 
 
 # --------------------------------------------------------------------------
@@ -2050,15 +2058,7 @@ def _decode_scan(p: BlockParams, states, stream, n):
 # --------------------------------------------------------------------------
 
 
-def encode_block(data: np.ndarray, p: BlockParams) -> bytes:
-    """Encode up to p.capacity bytes; returns the block payload."""
-    n = int(data.size)
-    assert 0 < n <= p.capacity
-    buf = np.zeros((p.lanes, p.steps), np.uint8)
-    buf.reshape(-1)[:n] = data
-    states, emit_packed, words, _ = _encode_passes(
-        p, jnp.asarray(buf), jnp.int32(n)
-    )
+def _pack_payload(states, emit_packed, words) -> bytes:
     emit_np = np.unpackbits(
         np.asarray(emit_packed), axis=-1, bitorder="little"
     ).astype(bool)  # [T, n_slots, S] in (step, slot, lane) order
@@ -2073,12 +2073,47 @@ def encode_block(data: np.ndarray, p: BlockParams) -> bytes:
     )
 
 
+def encode_block(data: np.ndarray, p: BlockParams) -> bytes:
+    """Encode up to p.capacity bytes; returns the block payload."""
+    n = int(data.size)
+    assert 0 < n <= p.capacity
+    buf = np.zeros((p.lanes, p.steps), np.uint8)
+    buf.reshape(-1)[:n] = data
+    states, emit_packed, words, _, _ = _encode_passes(
+        p, jnp.asarray(buf), jnp.int32(n)
+    )
+    return _pack_payload(states, emit_packed, words)
+
+
+def init_chain_tables(p: BlockParams):
+    """Fresh PPM tables for a model carry-over chain (container chain
+    mode): the reference resets models once per FILE and amortizes them
+    across all blocks (src/main.c:174-206); chain mode reproduces that
+    behavior as an opt-in, trading block-independent decode for ratio."""
+    return ppm.init_tables(p.match, p.o3_bits)
+
+
+def encode_block_chained(data: np.ndarray, p: BlockParams, tables0):
+    """encode_block with PPM model carry-over: code the block starting
+    from ``tables0`` and return (payload, final tables).  Match tables
+    still reset per block (the reference re-inits its matcher per block
+    too, roxmain/cr-coder.c:195)."""
+    n = int(data.size)
+    assert 0 < n <= p.capacity
+    buf = np.zeros((p.lanes, p.steps), np.uint8)
+    buf.reshape(-1)[:n] = data
+    states, emit_packed, words, _, tables1 = _encode_passes(
+        p, jnp.asarray(buf), jnp.int32(n), tables0
+    )
+    return _pack_payload(states, emit_packed, words), tables1
+
+
 def encode_block_stats(data: np.ndarray, p: BlockParams) -> dict:
     """Encode + per-event-class bit accounting (ratio diagnostics)."""
     n = int(data.size)
     buf = np.zeros((p.lanes, p.steps), np.uint8)
     buf.reshape(-1)[:n] = data
-    _, emit_packed, words, dbg = _encode_passes(
+    _, emit_packed, words, dbg, _ = _encode_passes(
         p, jnp.asarray(buf), jnp.int32(n)
     )
     emit = np.unpackbits(
@@ -2132,8 +2167,7 @@ def encode_block_stats(data: np.ndarray, p: BlockParams) -> dict:
     return stats
 
 
-def decode_block(payload: bytes, n: int, p: BlockParams) -> np.ndarray:
-    """Decode a block payload back to its n raw bytes."""
+def _unpack_payload(payload: bytes, p: BlockParams):
     n_words = int(np.frombuffer(payload[:4], "<u4")[0])
     off = 4
     states = np.frombuffer(payload[off : off + 4 * p.lanes], "<u4").copy()
@@ -2146,12 +2180,34 @@ def decode_block(payload: bytes, n: int, p: BlockParams) -> np.ndarray:
     )
     stream_padded = np.zeros(pad, np.uint16)
     stream_padded[:n_words] = stream
-    x, base, out = _decode_scan(
-        p, jnp.asarray(states), jnp.asarray(stream_padded), jnp.int32(n)
-    )
+    return n_words, states, stream_padded
+
+
+def _check_drain(x, base, n_words):
     if int(base) != n_words or not bool((np.asarray(x) == RANS_L).all()):
         raise ValueError(
             f"corrupt block: consumed {int(base)}/{n_words} words, "
             f"states drained={bool((np.asarray(x) == RANS_L).all())}"
         )
+
+
+def decode_block(payload: bytes, n: int, p: BlockParams) -> np.ndarray:
+    """Decode a block payload back to its n raw bytes."""
+    n_words, states, stream_padded = _unpack_payload(payload, p)
+    x, base, out, _ = _decode_scan(
+        p, jnp.asarray(states), jnp.asarray(stream_padded), jnp.int32(n)
+    )
+    _check_drain(x, base, n_words)
     return np.asarray(out).reshape(-1)[:n]
+
+
+def decode_block_chained(payload: bytes, n: int, p: BlockParams, tables0):
+    """decode_block with PPM model carry-over (inverse of
+    encode_block_chained): returns (bytes, final tables)."""
+    n_words, states, stream_padded = _unpack_payload(payload, p)
+    x, base, out, tables1 = _decode_scan(
+        p, jnp.asarray(states), jnp.asarray(stream_padded), jnp.int32(n),
+        tables0,
+    )
+    _check_drain(x, base, n_words)
+    return np.asarray(out).reshape(-1)[:n], tables1

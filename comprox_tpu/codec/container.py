@@ -48,7 +48,14 @@ from typing import BinaryIO, Callable, Iterator, Optional
 
 import numpy as np
 
-from comprox_tpu.codec.block import BlockParams, decode_block, encode_block
+from comprox_tpu.codec.block import (
+    BlockParams,
+    decode_block,
+    decode_block_chained,
+    encode_block,
+    encode_block_chained,
+    init_chain_tables,
+)
 
 # The trailing digits version the stream format: rev-3 grew _HDR_FMT and
 # changed table arithmetic, so pre-rev archives must fail with a clear
@@ -61,6 +68,9 @@ BF_FILTERED = 2
 BF_DICT = 4
 F_DICT = 1
 F_FILTER = 2
+F_CHAIN = 4  # PPM models carry over across blocks (the reference's
+# once-per-file reset, src/main.c:174-206) — opt-in: trades independent
+# block decode (mesh/group parallelism) for ratio at scale
 
 
 @dataclass(frozen=True)
@@ -178,6 +188,7 @@ def encode_stream(
     mesh=None,
     group: int = 1,
     precomp_only: bool = False,
+    chain: bool = False,
 ) -> int:
     """Encode ``src`` into ``dst``; returns compressed byte count.
 
@@ -188,16 +199,36 @@ def encode_stream(
     block-batching throughput path.
     ``precomp_only`` runs just the dictionary stage and stores the
     substituted bytes uncoded (the reference's -p, roxmain/main.c:77-82).
+    ``chain`` carries the PPM models across blocks (the reference's
+    once-per-file model reset, src/main.c:174-206) — mutually exclusive
+    with mesh/group parallelism and with the static-table 'F' profile;
+    stored-fallback blocks leave the chained models untouched (the
+    decoder never models their bytes).
     """
     from comprox_tpu.codec import dictionary as dic
 
     if precomp_only:
         filters = False  # stored blocks carry no filter-span metadata
+        chain = False  # no modeling happens at all
+    if chain:
+        if mesh is not None or group > 1:
+            raise ValueError(
+                "chain mode carries model state across blocks — "
+                "incompatible with mesh/group block parallelism"
+            )
+        if cp.block.mode == "F" or encode_fn is not None:
+            raise ValueError(
+                "chain mode requires an adaptive-model codec (R/X/P)"
+            )
 
     # whole-file pass #1: build the word dictionary (src/main.c:158 ->
     # cr-dicpick.c); broadcast-equivalent: the blob rides the header
     wd = dic.build_dictionary(src) if dictionary else None
-    flags = (F_FILTER if filters else 0) | (F_DICT if wd else 0)
+    flags = (
+        (F_FILTER if filters else 0)
+        | (F_DICT if wd else 0)
+        | (F_CHAIN if chain else 0)
+    )
     write_header(dst, cp, flags=flags)
     written = HEADER_LEN
     if wd is not None:
@@ -255,6 +286,7 @@ def encode_stream(
     else:
         group_n = 1
     blocks_it = iter_blocks(src, cp.block.capacity)
+    chain_tables = init_chain_tables(cp.block) if chain else None
     # Producer/consumer overlap (SURVEY.md §2.5 P2, re-expressed): the
     # next group's host staging (filters + dictionary substitution, C
     # loops that release the GIL) runs on a worker thread while the
@@ -285,7 +317,16 @@ def encode_stream(
                     dst.write(body)
                     written += BLKHDR_LEN + len(body)
                 continue
-            if encode_fn is not None:
+            if chain:
+                payloads = []
+                for _, blk, _, _ in staged:
+                    coded, tables1 = encode_block_chained(
+                        blk, cp.block, chain_tables
+                    )
+                    # the fallback decision below reverts to tables0 for
+                    # stored blocks; tentatively advance, revert on store
+                    payloads.append((coded, tables1))
+            elif encode_fn is not None:
                 payloads = [encode_fn(blk) for _, blk, _, _ in staged]
             elif mesh is not None and cp.block.mode != "F":
                 payloads = encode_blocks_list(
@@ -308,9 +349,13 @@ def encode_stream(
             for (raw_blk, blk, prefix, bflags), coded in zip(
                 staged, payloads
             ):
+                if chain:
+                    coded, tables1 = coded
                 payload = prefix + coded
                 if len(payload) >= raw_blk.size:  # stored fallback
                     payload, bflags = raw_blk.tobytes(), BF_STORED
+                elif chain:
+                    chain_tables = tables1  # models advance past the block
                 dst.write(
                     struct.pack(
                         BLKHDR, raw_blk.size, len(payload), bflags,
@@ -358,13 +403,18 @@ def decode_stream(
         if len(blob) != blob_len or zlib.crc32(blob) & 0xFFFFFFFF != crc:
             raise ValueError("corrupt archive: dictionary blob CRC mismatch")
         wd = dic.unpack_dict(blob)
+    chained = bool(flags & F_CHAIN)
+    chain_tables = init_chain_tables(cp.block) if chained else None
     if (
         (mesh is not None or group > 1)
         and decode_fn is None
+        and not chained  # chained blocks are sequentially dependent
         and (cp.block.mode != "F" or mesh is None)
     ):
         # prescan must start at the first block header (after the dict blob)
         decode_fn = _make_mesh_decode_fn(src, cp, mesh, group)
+    if chained:
+        decode_fn = None  # model carry-over forces the sequential path
     decode_fn = decode_fn or _block_decoder(cp.block)
     total = 0
     while True:
@@ -405,7 +455,12 @@ def decode_stream(
                     raise ValueError("corrupt block: missing dict-size prefix")
                 (n_dec,) = struct.unpack("<I", payload[:4])
                 payload = payload[4:]
-            out = decode_fn(payload, n_dec)
+            if chained:
+                out, chain_tables = decode_block_chained(
+                    payload, n_dec, cp.block, chain_tables
+                )
+            else:
+                out = decode_fn(payload, n_dec)
             if bflags & BF_DICT:
                 out = dic.dict_decode(out, wd)
         if out.size != raw_n:

@@ -73,7 +73,7 @@ def _encode_blocks_vmap(p: BlockParams, inp, n):
 @functools.partial(jax.jit, static_argnums=(0,))
 def _decode_blocks_vmap(p: BlockParams, states, streams, n):
     def one(st1, sm1, n1):
-        return _decode_scan(p, st1, sm1, n1)
+        return _decode_scan(p, st1, sm1, n1)[:3]
 
     return jax.vmap(one)(states, streams, n)
 
@@ -106,7 +106,7 @@ def _decode_blocks_sharded(p: BlockParams, mesh: Mesh, states, streams, n):
 
     def per_device(st, sm, nn):
         def one(st1, sm1, n1):
-            return _decode_scan(p, st1, sm1, n1)
+            return _decode_scan(p, st1, sm1, n1)[:3]
 
         return jax.vmap(one)(st, sm, nn)
 

@@ -203,3 +203,77 @@ def test_rolz_insert_decimation_roundtrip():
         dst = io.BytesIO()
         decode_stream(out, dst)
         assert dst.getvalue() == data.tobytes()
+
+
+# --------------------------------------------------------------------------
+# chain mode: PPM model carry-over across blocks (the reference's
+# once-per-file model reset, src/main.c:174-206; opt-in via F_CHAIN)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", [b"P", b"R", b"X"])
+def test_chain_mode_roundtrip_and_gain(codec):
+    cp = params_for(codec)
+    text = b"some words repeat, some words do not repeat at all. "
+    data = np.frombuffer(text * 90, np.uint8)[: cp.block.capacity * 4 + 77]
+    data = data.copy()
+    sizes = {}
+    for chain in (False, True):
+        buf = io.BytesIO()
+        sizes[chain] = encode_stream(
+            data, buf, cp, dictionary=True, chain=chain
+        )
+        buf.seek(0)
+        out = io.BytesIO()
+        decode_stream(buf, out)
+        assert out.getvalue() == data.tobytes(), f"chain={chain}"
+    # model amortization must pay on repetitive multi-block text
+    assert sizes[True] < sizes[False], sizes
+
+
+def test_chain_mode_stored_block_mid_chain():
+    """A stored-fallback block must leave the chained models untouched on
+    BOTH sides (the decoder never models its bytes)."""
+    cp = params_for(b"R")
+    rng = np.random.default_rng(5)
+    text = b"all work and no play makes jack a dull boy. " * 40
+    cap = cp.block.capacity
+    data = np.concatenate([
+        np.frombuffer(text, np.uint8)[:cap],
+        rng.integers(0, 256, cap, dtype=np.uint8),  # stored
+        np.frombuffer(text, np.uint8)[:cap],
+    ])
+    buf = io.BytesIO()
+    encode_stream(data, buf, cp, dictionary=False, chain=True)
+    buf.seek(0)
+    out = io.BytesIO()
+    decode_stream(buf, out)
+    assert out.getvalue() == data.tobytes()
+
+
+def test_chain_mode_rejects_parallel_and_static():
+    cp = params_for(b"R")
+    data = np.zeros(100, np.uint8)
+    with pytest.raises(ValueError, match="chain"):
+        encode_stream(data, io.BytesIO(), cp, chain=True, group=4)
+    from comprox_tpu.codec.container import ContainerParams as CP
+
+    fcp = CP(codec=b"F", block=BlockParams(
+        lanes=8, steps=128, mode="F", min_len=6, o3_bits=12,
+        rolz_bits=10, rolz_depth=16))
+    with pytest.raises(ValueError, match="chain"):
+        encode_stream(data, io.BytesIO(), fcp, chain=True)
+
+
+def test_chain_mode_decode_ignores_group():
+    """Chained archives are sequentially dependent; a -g decode request
+    must still produce correct output (sequential path forced)."""
+    cp = params_for(b"R")
+    text = b"the rain in spain falls mainly on the plain. " * 120
+    data = np.frombuffer(text, np.uint8)[: cp.block.capacity * 3 + 13].copy()
+    buf = io.BytesIO()
+    encode_stream(data, buf, cp, dictionary=False, chain=True)
+    buf.seek(0)
+    out = io.BytesIO()
+    decode_stream(buf, out, group=4)
+    assert out.getvalue() == data.tobytes()
