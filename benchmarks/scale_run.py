@@ -26,6 +26,9 @@ def main() -> None:
     mb = float(sys.argv[1]) if len(sys.argv) > 1 else 100.0
     block_mb = float(os.environ.get("SCALE_BLOCK_MB", "32"))
     group = int(os.environ.get("SCALE_GROUP", "2"))
+    chain = os.environ.get("SCALE_CHAIN", "") == "1"
+    if chain:
+        group = 1  # chained blocks are sequentially dependent
     lanes = int(os.environ.get("SCALE_LANES", "512"))
     mode = os.environ.get("SCALE_MODE", "R")
 
@@ -61,7 +64,7 @@ def main() -> None:
 
     t0 = time.time()
     with open(arc_path, "wb") as f:
-        csize = container.encode_stream(data, f, cp, group=group)
+        csize = container.encode_stream(data, f, cp, group=group, chain=chain)
     enc_s = time.time() - t0
     del data
 
@@ -74,7 +77,8 @@ def main() -> None:
     ok = out_md5 == src_md5 and total == n
     peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     print(
-        f"scale {mb:g}MiB mode={mode} block={block_mb:g}MiB x{group}: "
+        f"scale {mb:g}MiB mode={mode} block={block_mb:g}MiB x{group}"
+        f"{' chained' if chain else ''}: "
         f"{'BIT-EXACT' if ok else 'MISMATCH!'} "
         f"{csize} B ({csize * 8 / n:.4f} bpb), "
         f"enc {n / enc_s / 1e6:.2f} MB/s, dec {n / dec_s / 1e6:.2f} MB/s, "
