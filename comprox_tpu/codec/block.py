@@ -1147,7 +1147,11 @@ def _dist_extra_events(dist, k_dist, has_extra):
 
 _R_FINDER = _os.environ.get("CPX_R_FINDER", "sort")
 _R_CANDS = int(_os.environ.get("CPX_R_CANDS", "4"))
-_R_PROBE = int(_os.environ.get("CPX_R_PROBE", "8"))
+# chain probe depth (encoder-only; 2 gathered words per entry).  8MiB
+# sweep: probe 8/16/24/32 = 0.4124/0.4111/0.4104/0.4100 bpb at CPU enc
+# +17%/+~40%/+~60% — 16 is the knee; cands 6/8 and depth80 measured flat
+# (PERF.md round-3 ledger)
+_R_PROBE = int(_os.environ.get("CPX_R_PROBE", "16"))
 
 
 def _rolz_rank_body(p: BlockParams, inp_pad, inp_w32, n, n_c, c, xs):
