@@ -15,7 +15,10 @@ Env knobs:
   BENCH_MB      corpus size in MiB          (default 32)
   BENCH_LANES   lanes per block             (default 512)
   BENCH_BLOCK   block capacity in MiB       (default 8)
-  BENCH_GROUP   blocks vmap-batched per device scan (default 4)
+  BENCH_GROUP   blocks vmap-batched per device scan (default 1: the r3
+                speed matrix measured G=4 SLOWER than G=1 on the v5e —
+                R dec 0.93 vs 2.16 MB/s — vmapped table scatters scale
+                super-linearly in G; see PERF.md)
   BENCH_TRIES   backend bring-up attempts   (default 5)
 """
 
@@ -181,7 +184,7 @@ def main() -> None:
     corpus_mb = float(os.environ.get("BENCH_MB", "32"))
     lanes = int(os.environ.get("BENCH_LANES", "512"))
     block_mb = float(os.environ.get("BENCH_BLOCK", "8"))
-    group = int(os.environ.get("BENCH_GROUP", "4"))
+    group = int(os.environ.get("BENCH_GROUP", "1"))
     degraded = os.environ.get("BENCH_DEGRADED", "")
 
     plat = _backend_or_fallback()

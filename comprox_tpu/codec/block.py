@@ -193,9 +193,15 @@ def lzp_hash8(ctx4, ctx4b):
     """Hash of the last 8 bytes (two packed u32 words) -> ctx-8 bucket.
 
     The high-precision table of the LZP ladder (ropmain/cr-matcher.c:59-73
-    picks the longest-context table first; we keep 8 -> 4 -> 2)."""
+    picks the longest-context table first; we keep 8 -> 4 -> 2).
+
+    Distinct odd multipliers per half — with one shared constant C the
+    hash degenerates on equal halves (zero/space runs, 4-periodic data:
+    a*C ^ a*C = 0 -> bucket 0) and is symmetric under half-swap (same
+    advisor finding as x_hash8, round 2).  Format-relevant (both sides
+    compute it): rides FORMAT_REV."""
     v = ctx4.astype(_u32) * _u32(2654435761) ^ ctx4b.astype(_u32) * _u32(
-        0x9E3779B1
+        0xC2B2AE3D
     )
     return ((v >> 10) & _u32(LZP8_SIZE - 1)).astype(_i32)
 

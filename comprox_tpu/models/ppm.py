@@ -151,9 +151,10 @@ CONF_BOOST = _env("CONF_BOOST", 0)
 # Bumped when table-arithmetic CODE changes alter the stream format (e.g.
 # the round-2 o3 collision rule: summed row deltas replaced winner-dedup
 # writes; rev 3 = 2-way o3 entries + SYM_HIT2; rev 4 = adaptive distance-
-# mantissa top bits in mode 'X').  Rides format_fingerprint so old
-# archives fail cleanly.
-FORMAT_REV = 4
+# mantissa top bits in mode 'X'; rev 5 = lzp_hash8 distinct per-half
+# multipliers, mode 'P').  Rides format_fingerprint so old archives fail
+# cleanly.
+FORMAT_REV = 5
 
 
 def format_fingerprint() -> int:
