@@ -123,13 +123,19 @@ def build_dictionary(data: np.ndarray, max_words2: Optional[int] = None
     space = big if _SPACE_ENV is None else _SPACE_ENV == "1"
     use_cap = _CAP_ENV != "0"
     word_re = _RE_SPACE if space else _RE_PLAIN
-    hist = np.bincount(data, minlength=256)
+    # bincount's uint8 path casts per element (5x slower than one bulk
+    # astype on this numpy build — measured 798 vs 163 ms at 32 MiB)
+    hist = np.bincount(data.astype(np.intp), minlength=256)
     if use_cap:
         # case folding: "The" counts toward "the" (the reference's case-
-        # inversion escape, cr-diccode.c:313-335); coded as CAP + code
+        # inversion escape, cr-diccode.c:313-335); coded as CAP + code.
+        # Count raw tokens first (C-speed Counter), then fold the UNIQUE
+        # tokens only and merge — identical counts, ~30x fewer
+        # fold_token calls (dict build was 30% of the 8 MiB encode wall)
+        raw_cnt = Counter(word_re.findall(raw))
         cnt: Counter = Counter()
-        for w in word_re.findall(raw):
-            cnt[fold_token(w) or w] += 1
+        for w, c in raw_cnt.items():
+            cnt[fold_token(w) or w] += c
     else:
         cnt = Counter(word_re.findall(raw))
     cand = [(w, c) for w, c in cnt.items() if c >= MIN_COUNT]
