@@ -2083,16 +2083,40 @@ def _pack_payload(states, emit_packed, words) -> bytes:
     )
 
 
-def encode_block(data: np.ndarray, p: BlockParams) -> bytes:
-    """Encode up to p.capacity bytes; returns the block payload."""
+@functools.partial(jax.jit, static_argnums=(0,))
+def _encode_passes_lean(p: BlockParams, inp, n):
+    """_encode_passes minus the debug/final-table outputs: the jit
+    boundary for the (pipelined) container path.  Dropping ``ev`` from
+    the outputs lets XLA free the [T, 3*n_slots, S] event grids once the
+    rANS pass has consumed them — which matters when two blocks are in
+    flight at once."""
+    states, emit_packed, words, _, _ = _encode_passes(p, inp, n)
+    return states, emit_packed, words
+
+
+def encode_block_start(data: np.ndarray, p: BlockParams):
+    """Dispatch the encode passes; returns device-array handles.
+
+    jax dispatch is asynchronous: the scans are enqueued and this returns
+    before they run.  encode_block_finish() blocks on the results and
+    packs the payload — the container loop dispatches block i+1 BEFORE
+    finishing block i, overlapping device compute with the device->host
+    result transfer (the axon tunnel moves ~35 MB/s; PERF.md)."""
     n = int(data.size)
     assert 0 < n <= p.capacity
     buf = np.zeros((p.lanes, p.steps), np.uint8)
     buf.reshape(-1)[:n] = data
-    states, emit_packed, words, _, _ = _encode_passes(
-        p, jnp.asarray(buf), jnp.int32(n)
-    )
+    return _encode_passes_lean(p, jnp.asarray(buf), jnp.int32(n))
+
+
+def encode_block_finish(handles) -> bytes:
+    states, emit_packed, words = handles
     return _pack_payload(states, emit_packed, words)
+
+
+def encode_block(data: np.ndarray, p: BlockParams) -> bytes:
+    """Encode up to p.capacity bytes; returns the block payload."""
+    return encode_block_finish(encode_block_start(data, p))
 
 
 def init_chain_tables(p: BlockParams):
@@ -2201,14 +2225,25 @@ def _check_drain(x, base, n_words):
         )
 
 
-def decode_block(payload: bytes, n: int, p: BlockParams) -> np.ndarray:
-    """Decode a block payload back to its n raw bytes."""
+def decode_block_start(payload: bytes, n: int, p: BlockParams):
+    """Dispatch the decode scan (async); pair with decode_block_finish.
+    Same pipelining contract as encode_block_start."""
     n_words, states, stream_padded = _unpack_payload(payload, p)
-    x, base, out, _ = _decode_scan(
+    handles = _decode_scan(
         p, jnp.asarray(states), jnp.asarray(stream_padded), jnp.int32(n)
     )
+    return n, n_words, handles
+
+
+def decode_block_finish(started) -> np.ndarray:
+    n, n_words, (x, base, out, _tables) = started
     _check_drain(x, base, n_words)
     return np.asarray(out).reshape(-1)[:n]
+
+
+def decode_block(payload: bytes, n: int, p: BlockParams) -> np.ndarray:
+    """Decode a block payload back to its n raw bytes."""
+    return decode_block_finish(decode_block_start(payload, n, p))
 
 
 def decode_block_chained(payload: bytes, n: int, p: BlockParams, tables0):

@@ -52,8 +52,12 @@ from comprox_tpu.codec.block import (
     BlockParams,
     decode_block,
     decode_block_chained,
+    decode_block_finish,
+    decode_block_start,
     encode_block,
     encode_block_chained,
+    encode_block_finish,
+    encode_block_start,
     init_chain_tables,
 )
 
@@ -162,6 +166,41 @@ def _block_encoder(bp: BlockParams):
 
         return lambda blk: encode_block_fast(blk, bp)
     return lambda blk: encode_block(blk, bp)
+
+
+def _block_encoder_async(bp: BlockParams):
+    """(start, finish) pair for the pipelined sequential path: ``start``
+    dispatches the device passes asynchronously, ``finish`` blocks on the
+    results and packs the payload.  The stream loop keeps one block in
+    flight so device compute overlaps the device->host result transfer."""
+    if bp.mode == "F":
+        from comprox_tpu.codec.fast import (
+            encode_block_fast_finish,
+            encode_block_fast_start,
+        )
+
+        return (
+            lambda blk: encode_block_fast_start(blk, bp),
+            encode_block_fast_finish,
+        )
+    return lambda blk: encode_block_start(blk, bp), encode_block_finish
+
+
+def _block_decoder_async(bp: BlockParams):
+    if bp.mode == "F":
+        from comprox_tpu.codec.fast import (
+            decode_block_fast_finish,
+            decode_block_fast_start,
+        )
+
+        return (
+            lambda payload, n: decode_block_fast_start(payload, n, bp),
+            decode_block_fast_finish,
+        )
+    return (
+        lambda payload, n: decode_block_start(payload, n, bp),
+        decode_block_finish,
+    )
 
 
 def _block_decoder(bp: BlockParams):
@@ -296,6 +335,42 @@ def encode_stream(
     def stage_group(raws):
         return [stage(raw) for raw in raws]
 
+    def write_group(staged, payloads):
+        nonlocal written, done, chain_tables
+        for (raw_blk, blk, prefix, bflags), coded in zip(staged, payloads):
+            if chain:
+                coded, tables1 = coded
+            payload = prefix + coded
+            if len(payload) >= raw_blk.size:  # stored fallback
+                payload, bflags = raw_blk.tobytes(), BF_STORED
+            elif chain:
+                chain_tables = tables1  # models advance past the block
+            dst.write(
+                struct.pack(
+                    BLKHDR, raw_blk.size, len(payload), bflags,
+                    zlib.crc32(payload) & 0xFFFFFFFF,
+                )
+            )
+            dst.write(payload)
+            written += BLKHDR_LEN + len(payload)
+            done += raw_blk.size
+            if progress:
+                progress(done, total)
+
+    # One group stays in flight on the pipelined sequential path: block
+    # i+1's scans are dispatched (async) BEFORE block i's results are
+    # fetched, so device compute overlaps the device->host transfer +
+    # host-side payload packing (SURVEY.md §2.5 P2, device half).
+    pipelined = (
+        not precomp_only
+        and not chain
+        and encode_fn is None
+        and mesh is None
+        and group_n == 1
+    )
+    if pipelined:
+        enc_start, enc_finish = _block_encoder_async(cp.block)
+    pending = None  # (staged, [device handles]) awaiting finish
     pool = ThreadPoolExecutor(max_workers=1)
     try:
         nxt = list(itertools.islice(blocks_it, group_n))
@@ -316,6 +391,14 @@ def encode_stream(
                     )
                     dst.write(body)
                     written += BLKHDR_LEN + len(body)
+                continue
+            if pipelined:
+                handles = [enc_start(blk) for _, blk, _, _ in staged]
+                if pending is not None:
+                    write_group(
+                        pending[0], [enc_finish(h) for h in pending[1]]
+                    )
+                pending = (staged, handles)
                 continue
             if chain:
                 payloads = []
@@ -346,27 +429,9 @@ def encode_stream(
             else:
                 enc1 = _block_encoder(cp.block)
                 payloads = [enc1(blk) for _, blk, _, _ in staged]
-            for (raw_blk, blk, prefix, bflags), coded in zip(
-                staged, payloads
-            ):
-                if chain:
-                    coded, tables1 = coded
-                payload = prefix + coded
-                if len(payload) >= raw_blk.size:  # stored fallback
-                    payload, bflags = raw_blk.tobytes(), BF_STORED
-                elif chain:
-                    chain_tables = tables1  # models advance past the block
-                dst.write(
-                    struct.pack(
-                        BLKHDR, raw_blk.size, len(payload), bflags,
-                        zlib.crc32(payload) & 0xFFFFFFFF,
-                    )
-                )
-                dst.write(payload)
-                written += BLKHDR_LEN + len(payload)
-                done += raw_blk.size
-                if progress:
-                    progress(done, total)
+            write_group(staged, payloads)
+        if pending is not None:  # drain the pipelined tail block
+            write_group(pending[0], [enc_finish(h) for h in pending[1]])
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
     dst.write(struct.pack(BLKHDR, 0, 0, 0, 0))
@@ -415,8 +480,37 @@ def decode_stream(
         decode_fn = _make_mesh_decode_fn(src, cp, mesh, group)
     if chained:
         decode_fn = None  # model carry-over forces the sequential path
+    # Pipelined sequential path: dispatch block i+1's scan (async) before
+    # fetching block i's output, overlapping device compute with the
+    # device->host transfer (mirrors encode_stream's write_group pipeline).
+    dec_start = dec_finish = None
+    if decode_fn is None and not chained:
+        dec_start, dec_finish = _block_decoder_async(cp.block)
     decode_fn = decode_fn or _block_decoder(cp.block)
     total = 0
+    pending = None  # (started handles, dicted, spans, raw_n)
+
+    def finish_item(item):
+        nonlocal total
+        started, out, dicted, spans, raw_n = item
+        if started is not None:
+            out = dec_finish(started)
+        if dicted:
+            out = dic.dict_decode(out, wd)
+        if out.size != raw_n:
+            raise ValueError(
+                f"corrupt block: decoded {out.size} bytes, header says "
+                f"{raw_n}"
+            )
+        if spans:
+            from comprox_tpu.ops import filters as flt
+
+            out = flt.apply_spans(out, spans, encode=False)
+        dst.write(out.tobytes())
+        total += raw_n
+        if progress:
+            progress(total, total)
+
     while True:
         hdr = src.read(BLKHDR_LEN)
         if len(hdr) < BLKHDR_LEN:
@@ -448,6 +542,7 @@ def decode_stream(
                 )
             else:
                 out = np.frombuffer(payload, np.uint8)
+            item = (None, out, False, spans, raw_n)
         else:
             n_dec = raw_n
             if bflags & BF_DICT:
@@ -455,26 +550,25 @@ def decode_stream(
                     raise ValueError("corrupt block: missing dict-size prefix")
                 (n_dec,) = struct.unpack("<I", payload[:4])
                 payload = payload[4:]
+            dicted = bool(bflags & BF_DICT)
             if chained:
                 out, chain_tables = decode_block_chained(
                     payload, n_dec, cp.block, chain_tables
                 )
+                item = (None, out, dicted, spans, raw_n)
+            elif dec_start is not None:
+                item = (dec_start(payload, n_dec), None, dicted, spans, raw_n)
             else:
-                out = decode_fn(payload, n_dec)
-            if bflags & BF_DICT:
-                out = dic.dict_decode(out, wd)
-        if out.size != raw_n:
-            raise ValueError(
-                f"corrupt block: decoded {out.size} bytes, header says {raw_n}"
-            )
-        if spans:
-            from comprox_tpu.ops import filters as flt
-
-            out = flt.apply_spans(out, spans, encode=False)
-        dst.write(out.tobytes())
-        total += raw_n
-        if progress:
-            progress(total, total)
+                item = (None, decode_fn(payload, n_dec), dicted, spans, raw_n)
+        if pending is not None:
+            finish_item(pending)
+            pending = None
+        if item[0] is not None:
+            pending = item  # keep the dispatched block in flight
+        else:
+            finish_item(item)
+    if pending is not None:
+        finish_item(pending)
     return total
 
 

@@ -529,18 +529,14 @@ def decode_blocks_fast(
     return np.concatenate(pieces) if pieces else np.zeros(0, np.uint8)
 
 
-def encode_block_fast(data: np.ndarray, p: BlockParams) -> bytes:
+def encode_block_fast_start(data: np.ndarray, p: BlockParams):
+    """Dispatch the fast-profile encode (async device handles); pair with
+    encode_block_fast_finish — same pipelining contract as
+    block.encode_block_start."""
     n = int(data.size)
     assert 0 < n <= p.capacity
     buf = np.zeros((p.lanes, p.steps), np.uint8)
     buf.reshape(-1)[:n] = data
-    a_freq, l_freq, states, emit_packed, words = _encode_fast(
-        p, jnp.asarray(buf), jnp.int32(n)
-    )
-    emit_np = np.unpackbits(
-        np.asarray(emit_packed), axis=-1, bitorder="little"
-    ).astype(bool)
-    stream = np.asarray(words)[emit_np]
     # content CRC: the adaptive codecs detect payload corruption through
     # model-state divergence (the drain check fires), but static tables
     # cannot self-corrupt — a flipped distance-mantissa bit decodes to a
@@ -548,6 +544,15 @@ def encode_block_fast(data: np.ndarray, p: BlockParams) -> bytes:
     import zlib
 
     crc = zlib.crc32(data.tobytes()) & 0xFFFFFFFF
+    return crc, _encode_fast(p, jnp.asarray(buf), jnp.int32(n))
+
+
+def encode_block_fast_finish(started) -> bytes:
+    crc, (a_freq, l_freq, states, emit_packed, words) = started
+    emit_np = np.unpackbits(
+        np.asarray(emit_packed), axis=-1, bitorder="little"
+    ).astype(bool)
+    stream = np.asarray(words)[emit_np]
     return (
         np.array([stream.size], np.uint32).tobytes()
         + np.array([crc], np.uint32).tobytes()
@@ -558,7 +563,14 @@ def encode_block_fast(data: np.ndarray, p: BlockParams) -> bytes:
     )
 
 
-def decode_block_fast(payload: bytes, n: int, p: BlockParams) -> np.ndarray:
+def encode_block_fast(data: np.ndarray, p: BlockParams) -> bytes:
+    return encode_block_fast_finish(encode_block_fast_start(data, p))
+
+
+def decode_block_fast_start(payload: bytes, n: int, p: BlockParams):
+    """Host-side unpack + async scan dispatch; pair with
+    decode_block_fast_finish (pipelining contract as decode_block_start).
+    All payload-shape validation raises HERE, before dispatch."""
     if n <= 0 or n > p.capacity:
         raise ValueError(f"corrupt block: bad raw size {n}")
     need = 8 + _TAB_BYTES + 4 * p.lanes
@@ -588,7 +600,7 @@ def decode_block_fast(payload: bytes, n: int, p: BlockParams) -> np.ndarray:
     if int(n_words) > p.stream_pad:
         raise ValueError("corrupt block: stream exceeds geometry bound")
     stream[: int(n_words)] = words
-    x, base, out = _fast_decode_scan(
+    handles = _fast_decode_scan(
         p,
         jnp.asarray(a_freq),
         jnp.asarray(l_freq),
@@ -596,15 +608,24 @@ def decode_block_fast(payload: bytes, n: int, p: BlockParams) -> np.ndarray:
         jnp.asarray(stream),
         jnp.int32(n),
     )
+    return n, int(n_words), int(crc_want), handles
+
+
+def decode_block_fast_finish(started) -> np.ndarray:
+    n, n_words, crc_want, (x, base, out) = started
     x = np.asarray(x)
-    if int(base) != int(n_words) or not (x == RANS_L).all():
+    if int(base) != n_words or not (x == RANS_L).all():
         raise ValueError(
             f"corrupt block: states drained={bool((x == RANS_L).all())} "
-            f"words {int(base)}/{int(n_words)}"
+            f"words {int(base)}/{n_words}"
         )
     res = np.asarray(out).reshape(-1)[:n]
     import zlib
 
-    if (zlib.crc32(res.tobytes()) & 0xFFFFFFFF) != int(crc_want):
+    if (zlib.crc32(res.tobytes()) & 0xFFFFFFFF) != crc_want:
         raise ValueError("corrupt block: content CRC mismatch")
     return res
+
+
+def decode_block_fast(payload: bytes, n: int, p: BlockParams) -> np.ndarray:
+    return decode_block_fast_finish(decode_block_fast_start(payload, n, p))
