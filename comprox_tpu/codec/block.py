@@ -2127,19 +2127,46 @@ def init_chain_tables(p: BlockParams):
     return ppm.init_tables(p.match, p.o3_bits)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _encode_passes_chained_lean(p: BlockParams, inp, n, tables0):
+    """Chained encode minus the debug grids (same rationale as
+    _encode_passes_lean: frees the [T,3*n_slots,S] event grids once the
+    rANS pass consumed them — two chained blocks can be in flight)."""
+    states, emit_packed, words, _, tables1 = _encode_passes(
+        p, inp, n, tables0
+    )
+    return states, emit_packed, words, tables1
+
+
+def encode_block_chained_start(data: np.ndarray, p: BlockParams, tables0):
+    """Dispatch a chained block encode (async); returns
+    ((payload handles), tables1 handles).  tables1 are device arrays the
+    NEXT block's start may consume immediately — the device dependency
+    chain serializes the scans correctly while dispatch stays ahead of
+    the result transfers (speculative chain pipelining: the container
+    re-dispatches from the pre-block tables in the rare stored-fallback
+    case)."""
+    n = int(data.size)
+    assert 0 < n <= p.capacity
+    buf = np.zeros((p.lanes, p.steps), np.uint8)
+    buf.reshape(-1)[:n] = data
+    states, emit_packed, words, tables1 = _encode_passes_chained_lean(
+        p, jnp.asarray(buf), jnp.int32(n), tables0
+    )
+    return (states, emit_packed, words), tables1
+
+
+def encode_block_chained_finish(handles) -> bytes:
+    return _pack_payload(*handles)
+
+
 def encode_block_chained(data: np.ndarray, p: BlockParams, tables0):
     """encode_block with PPM model carry-over: code the block starting
     from ``tables0`` and return (payload, final tables).  Match tables
     still reset per block (the reference re-inits its matcher per block
     too, roxmain/cr-coder.c:195)."""
-    n = int(data.size)
-    assert 0 < n <= p.capacity
-    buf = np.zeros((p.lanes, p.steps), np.uint8)
-    buf.reshape(-1)[:n] = data
-    states, emit_packed, words, _, tables1 = _encode_passes(
-        p, jnp.asarray(buf), jnp.int32(n), tables0
-    )
-    return _pack_payload(states, emit_packed, words), tables1
+    handles, tables1 = encode_block_chained_start(data, p, tables0)
+    return encode_block_chained_finish(handles), tables1
 
 
 def encode_block_stats(data: np.ndarray, p: BlockParams) -> dict:
@@ -2246,13 +2273,23 @@ def decode_block(payload: bytes, n: int, p: BlockParams) -> np.ndarray:
     return decode_block_finish(decode_block_start(payload, n, p))
 
 
-def decode_block_chained(payload: bytes, n: int, p: BlockParams, tables0):
-    """decode_block with PPM model carry-over (inverse of
-    encode_block_chained): returns (bytes, final tables)."""
+def decode_block_chained_start(payload: bytes, n: int, p: BlockParams,
+                               tables0):
+    """Dispatch a chained block decode (async); returns
+    (started, tables1 handles).  Unlike encode there is nothing to
+    speculate: stored blocks are known from their header flags before
+    dispatch and never touch the models, so the next coded block can
+    chain off ``tables1`` immediately (a device-side dependency)."""
     n_words, states, stream_padded = _unpack_payload(payload, p)
     x, base, out, tables1 = _decode_scan(
         p, jnp.asarray(states), jnp.asarray(stream_padded), jnp.int32(n),
         tables0,
     )
-    _check_drain(x, base, n_words)
-    return np.asarray(out).reshape(-1)[:n], tables1
+    return (n, n_words, (x, base, out, tables1)), tables1
+
+
+def decode_block_chained(payload: bytes, n: int, p: BlockParams, tables0):
+    """decode_block with PPM model carry-over (inverse of
+    encode_block_chained): returns (bytes, final tables)."""
+    started, tables1 = decode_block_chained_start(payload, n, p, tables0)
+    return decode_block_finish(started), tables1

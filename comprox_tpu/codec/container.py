@@ -51,11 +51,12 @@ import numpy as np
 from comprox_tpu.codec.block import (
     BlockParams,
     decode_block,
-    decode_block_chained,
+    decode_block_chained_start,
     decode_block_finish,
     decode_block_start,
     encode_block,
-    encode_block_chained,
+    encode_block_chained_finish,
+    encode_block_chained_start,
     encode_block_finish,
     encode_block_start,
     init_chain_tables,
@@ -371,6 +372,8 @@ def encode_stream(
     if pipelined:
         enc_start, enc_finish = _block_encoder_async(cp.block)
     pending = None  # (staged, [device handles]) awaiting finish
+    pending_c = None  # chained: (staged, payload handles, tables-after)
+    spec_tables = chain_tables  # speculative chain head (device handles)
     pool = ThreadPoolExecutor(max_workers=1)
     try:
         nxt = list(itertools.islice(blocks_it, group_n))
@@ -401,14 +404,30 @@ def encode_stream(
                 pending = (staged, handles)
                 continue
             if chain:
-                payloads = []
-                for _, blk, _, _ in staged:
-                    coded, tables1 = encode_block_chained(
-                        blk, cp.block, chain_tables
+                # Speculative chain pipelining: dispatch this block's
+                # scans off the PREVIOUS block's tables1 device handles
+                # (the dependency serializes on-device; dispatch stays
+                # ahead of result transfers).  The speculation is that
+                # the previous block advances the models — only a
+                # stored fallback (incompressible block) falsifies it,
+                # in which case the dispatch is redone from the
+                # committed tables (write_group reverts those).
+                blk = staged[0][1]
+                handles, tb_after = encode_block_chained_start(
+                    blk, cp.block, spec_tables
+                )
+                if pending_c is not None:
+                    st_p, h_p, tb_p = pending_c
+                    write_group(
+                        st_p, [(encode_block_chained_finish(h_p), tb_p)]
                     )
-                    # the fallback decision below reverts to tables0 for
-                    # stored blocks; tentatively advance, revert on store
-                    payloads.append((coded, tables1))
+                    if chain_tables is not tb_p:  # fallback: redo
+                        handles, tb_after = encode_block_chained_start(
+                            blk, cp.block, chain_tables
+                        )
+                spec_tables = tb_after
+                pending_c = (staged, handles, tb_after)
+                continue
             elif encode_fn is not None:
                 payloads = [encode_fn(blk) for _, blk, _, _ in staged]
             elif mesh is not None and cp.block.mode != "F":
@@ -432,6 +451,9 @@ def encode_stream(
             write_group(staged, payloads)
         if pending is not None:  # drain the pipelined tail block
             write_group(pending[0], [enc_finish(h) for h in pending[1]])
+        if pending_c is not None:  # drain the chained tail block
+            st_p, h_p, tb_p = pending_c
+            write_group(st_p, [(encode_block_chained_finish(h_p), tb_p)])
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
     dst.write(struct.pack(BLKHDR, 0, 0, 0, 0))
@@ -486,6 +508,11 @@ def decode_stream(
     dec_start = dec_finish = None
     if decode_fn is None and not chained:
         dec_start, dec_finish = _block_decoder_async(cp.block)
+    elif chained:
+        # chained decode pipelines too: the next block's scan chains off
+        # tables1 device handles (no speculation needed — stored blocks
+        # are known from header flags before dispatch and skip the models)
+        dec_finish = decode_block_finish
     decode_fn = decode_fn or _block_decoder(cp.block)
     total = 0
     pending = None  # (started handles, dicted, spans, raw_n)
@@ -552,10 +579,10 @@ def decode_stream(
                 payload = payload[4:]
             dicted = bool(bflags & BF_DICT)
             if chained:
-                out, chain_tables = decode_block_chained(
+                started, chain_tables = decode_block_chained_start(
                     payload, n_dec, cp.block, chain_tables
                 )
-                item = (None, out, dicted, spans, raw_n)
+                item = (started, None, dicted, spans, raw_n)
             elif dec_start is not None:
                 item = (dec_start(payload, n_dec), None, dicted, spans, raw_n)
             else:
