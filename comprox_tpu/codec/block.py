@@ -2256,14 +2256,18 @@ def decode_block_start(payload: bytes, n: int, p: BlockParams):
     """Dispatch the decode scan (async); pair with decode_block_finish.
     Same pipelining contract as encode_block_start."""
     n_words, states, stream_padded = _unpack_payload(payload, p)
-    handles = _decode_scan(
+    x, base, out, _tables = _decode_scan(
         p, jnp.asarray(states), jnp.asarray(stream_padded), jnp.int32(n)
     )
-    return n, n_words, handles
+    # drop the tables handle NOW: the non-chained path never reads it, and
+    # retaining it across the one-block-in-flight pipeline would keep a
+    # second full table set alive on-device at large geometries
+    return n, n_words, (x, base, out)
 
 
 def decode_block_finish(started) -> np.ndarray:
-    n, n_words, (x, base, out, _tables) = started
+    n, n_words, handles = started
+    x, base, out = handles[:3]
     _check_drain(x, base, n_words)
     return np.asarray(out).reshape(-1)[:n]
 

@@ -337,8 +337,13 @@ def encode_stream(
         return [stage(raw) for raw in raws]
 
     def write_group(staged, payloads):
+        """Returns True iff the LAST block written advanced the chain
+        models (i.e. was not a stored fallback) — the chained pipeline
+        keys its speculation check on this explicit flag."""
         nonlocal written, done, chain_tables
+        advanced = False
         for (raw_blk, blk, prefix, bflags), coded in zip(staged, payloads):
+            advanced = False
             if chain:
                 coded, tables1 = coded
             payload = prefix + coded
@@ -346,6 +351,7 @@ def encode_stream(
                 payload, bflags = raw_blk.tobytes(), BF_STORED
             elif chain:
                 chain_tables = tables1  # models advance past the block
+                advanced = True
             dst.write(
                 struct.pack(
                     BLKHDR, raw_blk.size, len(payload), bflags,
@@ -357,6 +363,7 @@ def encode_stream(
             done += raw_blk.size
             if progress:
                 progress(done, total)
+        return advanced
 
     # One group stays in flight on the pipelined sequential path: block
     # i+1's scans are dispatched (async) BEFORE block i's results are
@@ -418,10 +425,10 @@ def encode_stream(
                 )
                 if pending_c is not None:
                     st_p, h_p, tb_p = pending_c
-                    write_group(
+                    adv = write_group(
                         st_p, [(encode_block_chained_finish(h_p), tb_p)]
                     )
-                    if chain_tables is not tb_p:  # fallback: redo
+                    if not adv:  # stored fallback: redo off committed tables
                         handles, tb_after = encode_block_chained_start(
                             blk, cp.block, chain_tables
                         )
@@ -515,7 +522,13 @@ def decode_stream(
         dec_finish = decode_block_finish
     decode_fn = decode_fn or _block_decoder(cp.block)
     total = 0
-    pending = None  # (started handles, dicted, spans, raw_n)
+    # 5-tuple (started handles-or-None, out-or-None, dicted, spans, raw_n).
+    # Error ordering note: with one block in flight, block i+1's payload
+    # CRC (checked at read time, above dispatch) runs BEFORE block i's
+    # deferred drain/content checks in finish_item — archive corruption in
+    # block i can therefore surface attributed to i+1 first.  Benign: both
+    # raise ValueError and abort the decode; no wrong bytes are written.
+    pending = None
 
     def finish_item(item):
         nonlocal total

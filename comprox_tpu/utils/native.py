@@ -50,12 +50,6 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
     ]
     lib.e8e9_transform.restype = None
-    lib.e8e9_active_positions.argtypes = [
-        ctypes.c_void_p,
-        ctypes.c_int64,
-        ctypes.c_void_p,
-    ]
-    lib.e8e9_active_positions.restype = ctypes.c_int64
     return lib
 
 

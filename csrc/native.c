@@ -50,24 +50,6 @@ void e8e9_transform(uint8_t *buf, int64_t len, int64_t vbase, int64_t vsize,
     }
 }
 
-/* Greedy min-gap-5 selection of E8/E9 opcode positions (the skip rule
- * above), exported separately for the vectorized JAX transform path:
- * returns number of active positions written to out. */
-int64_t e8e9_active_positions(const uint8_t *buf, int64_t len,
-                              int64_t *out) {
-    int64_t i = 0, n = 0;
-    if (len < 9) return 0;
-    while (i < len - 8) {
-        if ((buf[i] & 0xFE) == 0xE8) {
-            out[n++] = i;
-            i += 5;
-        } else {
-            i += 1;
-        }
-    }
-    return n;
-}
-
 /* ---------------------------------------------------------------------- */
 /* Dictionary substitution loops (the sequential host stage of the        */
 /* codec/dictionary.py scheme; the reference threads its equivalent,      */
