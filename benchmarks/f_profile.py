@@ -14,8 +14,11 @@ Usage: python benchmarks/f_profile.py [MB] [LANES]
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

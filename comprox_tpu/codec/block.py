@@ -171,9 +171,9 @@ class BlockParams:
     @property
     def n_slots(self) -> int:
         # A, B, C (+ D/E distance extra-bit events in LZ77 mode); the
-        # static-table fast profile ('F') folds the dist bucket into A:
-        # A, len, dist-hi, dist-lo
-        return 5 if self.mode == "X" else 4 if self.mode == "F" else 3
+        # static-table fast profile ('F') codes tokens as SYM + two
+        # uniform mantissa events (codec/fast.py)
+        return 5 if self.mode == "X" else 3
 
     @property
     def stream_pad_max(self) -> int:

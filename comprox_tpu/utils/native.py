@@ -103,6 +103,49 @@ def _e8e9_python(buf: np.ndarray, vbase: int, vsize: int, en_de: int) -> None:
             i += 1
 
 
+def f2_execute(
+    tok: np.ndarray, min_len: int, n: int
+) -> Optional[np.ndarray]:
+    """Materialize mode-'F' output bytes from the TPU-decoded token plane
+    (csrc/native.c f2_execute): values < 256 are literal bytes, values
+    >= 256 are matches (dist << 8) | (len - min_len).  ``n`` is the
+    expected output size; returns None (raising is the caller's job) when
+    the token stream is malformed or does not produce exactly n bytes."""
+    assert tok.dtype == np.uint32 and tok.flags.c_contiguous
+    out = np.empty(n, np.uint8)
+    lib = get_lib()
+    if lib is not None:
+        if not getattr(lib, "_f2_setup", False):
+            lib.f2_execute.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib.f2_execute.restype = ctypes.c_int64
+            lib._f2_setup = True
+        got = lib.f2_execute(
+            tok.ctypes.data, tok.size, min_len, out.ctypes.data, n
+        )
+        return out if got == n else None
+    # pure-Python fallback (no toolchain): same walk, same fail-clean rule
+    o = 0
+    for v in tok:
+        v = int(v)
+        if v < 256:
+            if o >= n:
+                return None
+            out[o] = v
+            o += 1
+        else:
+            length, dist = (v & 255) + min_len, v >> 8
+            src = o - dist
+            if src < 0 or o + length > n:
+                return None
+            for j in range(length):
+                out[o + j] = out[src + j]
+            o += length
+    return out if o == n else None
+
+
 def _setup_dict(lib: ctypes.CDLL) -> None:
     if getattr(lib, "_dict_setup", False):
         return

@@ -196,3 +196,42 @@ int64_t dict_decode_c(const uint8_t *inp, int64_t n, const uint8_t *words,
     }
     return o;
 }
+
+/* ---------------------------------------------------------------------- */
+/* Mode-'F' sequence executor (decode half of the fast profile).          */
+/*                                                                        */
+/* The TPU scan entropy-decodes tokens (comprox_tpu/codec/fast.py) and    */
+/* ships one u32 per token: values < 256 are literal bytes; values >=     */
+/* 256 are matches packed (dist << 8) | (len - min_len), dist >= 1        */
+/* (repeat distances already resolved on-device).  This materializes the  */
+/* output bytes at memcpy speed — the sequential LZ copy chain is the     */
+/* one dependency lock-step TPU lanes cannot express without paying a     */
+/* gather per byte (the round-3 F decoder's per-step copy machinery,      */
+/* PERF.md).  The reference runs its whole codec on the host for the      */
+/* same reason (roxmain/cr-coder.c decode loop); here only this O(n)      */
+/* byte walk does.                                                        */
+/*                                                                        */
+/* Returns the number of bytes written, or -1 on a malformed token        */
+/* stream (source underrun / output overrun) — the fail-clean contract    */
+/* (never reads or writes out of bounds on corrupt input).                */
+int64_t f2_execute(const uint32_t *tok, int64_t n_tok, int64_t min_len,
+                   uint8_t *out, int64_t out_cap) {
+    int64_t o = 0;
+    for (int64_t i = 0; i < n_tok; i++) {
+        uint32_t v = tok[i];
+        if (v < 256u) {
+            if (o >= out_cap) return -1;
+            out[o++] = (uint8_t)v;
+        } else {
+            int64_t len = (int64_t)(v & 255) + min_len;
+            int64_t dist = (int64_t)(v >> 8); /* >= 1 since v >= 256 */
+            int64_t src = o - dist;
+            if (src < 0 || o + len > out_cap) return -1;
+            /* forward byte copy: overlap (dist < len) replicates — the   */
+            /* LZ77 semantics both sides assume                           */
+            for (int64_t j = 0; j < len; j++) out[o + j] = out[src + j];
+            o += len;
+        }
+    }
+    return o;
+}
