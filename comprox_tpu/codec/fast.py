@@ -192,9 +192,10 @@ def _f2_find(p: BlockParams, inp_flat, n):
         pk = jnp.concatenate([jnp.full((k,), -1, _i32), ps[:-k]])
         hk = jnp.concatenate([jnp.zeros((k,), _u32), hs[:-k]])
         prevs.append(jnp.where(hk == hs, pk, -1))
-    cand_rows = (
-        jnp.zeros((N, _F_CANDS), _i32).at[ps].set(jnp.stack(prevs, axis=-1))
-    )
+    # back to position order by SORTING on ps (a permutation): a second
+    # 2.3 ms sort replaces an 85 ms [N, K] scatter (measured, v5e)
+    unsorted = jax.lax.sort((ps,) + tuple(prevs), num_keys=1)
+    cand_cols = unsorted[1:]
     # sliding row table: rows[r, k] = word at byte 4*(r + k) — one row
     # gather = a 64-byte window at any 4-aligned start (alignment fixed
     # up with one elementwise byte shift below)
@@ -208,7 +209,7 @@ def _f2_find(p: BlockParams, inp_flat, n):
     )
     out = []
     for k in range(_F_CANDS):
-        cand = cand_rows[:, k]
+        cand = cand_cols[k]
         ok = (cand >= 0) & valid
         safe = jnp.clip(cand, 0, N - 1)
         rowc = rows[jnp.minimum(safe >> 2, R - 1)]  # [N, EXTW] u32
@@ -309,25 +310,25 @@ def _tokenize(p: BlockParams, ev, n):
     lenf = flat(length)
     bytef = flat(byte)
     sf = startf.astype(_i32)
-    tid = _flat_excl_cumsum(sf)
-    n_tok = tid[-1] + sf[-1]
+    n_tok = jnp.sum(sf)
     # repeat detection in token (== position) order: previous match's
     # distance at a strictly earlier position
     e = jnp.where(is_mf, distf, 0)
     eprev = jnp.concatenate([jnp.zeros((1,), _i32), e[:-1]])
     prev = jnp.maximum(_last_nonzero_fill(eprev), 1)
     rep = is_mf & (distf == prev)
-    cap_tok = p.capacity
-    dst = jnp.where(startf, tid, cap_tok)
     e0 = bytef | (is_mf.astype(_i32) << 8) | (rep.astype(_i32) << 9) | (
         lenf << 10
     )
-    toks = (
-        jnp.zeros((cap_tok + 1, 2), _i32)
-        .at[dst]
-        .set(jnp.stack([e0, distf], axis=-1), mode="drop")
+    # compact token starts to the front by a stable sort on the one-bit
+    # key "not a start" — an 83 ms [N, 2] scatter replaced by a ~3 ms
+    # sort (measured, v5e); stability preserves position == token order
+    key = 1 - sf
+    _, e0_s, dist_s = jax.lax.sort(
+        (key, e0, distf), num_keys=1, is_stable=True
     )
-    return toks[:-1], n_tok
+    toks = jnp.stack([e0_s, dist_s], axis=-1)
+    return toks, n_tok
 
 
 def _token_events(p: BlockParams, toks, n_tok):
