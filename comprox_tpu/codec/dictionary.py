@@ -116,28 +116,59 @@ def build_dictionary(data: np.ndarray, max_words2: Optional[int] = None
                      ) -> Optional[WordDict]:
     """Whole-file pass #1 (the dicpick analogue).  Returns None when a
     dictionary can't pay for itself (binary data, tiny files)."""
-    raw = data.tobytes()
-    if len(raw) < 4096:
+    n_raw = data.size
+    if n_raw < 4096:
         return None
-    big = len(raw) >= BIG_INPUT
+    big = n_raw >= BIG_INPUT
     space = big if _SPACE_ENV is None else _SPACE_ENV == "1"
     use_cap = _CAP_ENV != "0"
     word_re = _RE_SPACE if space else _RE_PLAIN
-    # bincount's uint8 path casts per element (5x slower than one bulk
-    # astype on this numpy build — measured 798 vs 163 ms at 32 MiB)
-    hist = np.bincount(data.astype(np.intp), minlength=256)
+    # chunked bincount: one bulk astype is 5x faster than the uint8 path
+    # (798 vs 163 ms at 32 MiB) but materializes an 8x temp — at 1 GiB
+    # that temp dominated peak RSS (10.9 GB, PERF.md).  16 MiB chunks keep
+    # the speed with a bounded temp.
+    hist = np.zeros(256, np.int64)
+    for i in range(0, n_raw, 1 << 24):
+        hist += np.bincount(
+            data[i : i + (1 << 24)].astype(np.intp), minlength=256
+        )
+    # word counting runs on a deterministic strided SAMPLE above the cap
+    # (the reference streams this pass, cr-dicpick.c:149-216; we bound it
+    # instead): 64 evenly-spaced chunks, counts rescaled to file size so
+    # MIN_COUNT and the savings ranking keep their absolute meaning.
+    # Default 16 MiB: inputs at or below the flagship block sizes are
+    # counted exactly (bench-comparable ratios); 100 MiB / 1 GiB scale
+    # runs get a bounded pass (measured +0.76% dict-output size at 8 MiB
+    # when sampling half the input; the final-ratio effect is smaller).
+    cap_mb = float(_os.environ.get("CPX_DICT_SAMPLE_MB", "16"))
+    cap_n = int(cap_mb * 1048576)
+    if 0 < cap_n < n_raw:
+        n_chunks = 64
+        ck = max(cap_n // n_chunks, 4096)
+        stride = n_raw // n_chunks
+        parts = [
+            data[i * stride : i * stride + ck].tobytes()
+            for i in range(n_chunks)
+        ]
+        sample = b"\n".join(parts)
+        scale = n_raw / max(len(sample), 1)
+    else:
+        sample = data.tobytes()
+        scale = 1.0
     if use_cap:
         # case folding: "The" counts toward "the" (the reference's case-
         # inversion escape, cr-diccode.c:313-335); coded as CAP + code.
         # Count raw tokens first (C-speed Counter), then fold the UNIQUE
         # tokens only and merge — identical counts, ~30x fewer
         # fold_token calls (dict build was 30% of the 8 MiB encode wall)
-        raw_cnt = Counter(word_re.findall(raw))
+        raw_cnt = Counter(word_re.findall(sample))
         cnt: Counter = Counter()
         for w, c in raw_cnt.items():
             cnt[fold_token(w) or w] += c
     else:
-        cnt = Counter(word_re.findall(raw))
+        cnt = Counter(word_re.findall(sample))
+    if scale != 1.0:
+        cnt = Counter({w: int(c * scale) for w, c in cnt.items()})
     cand = [(w, c) for w, c in cnt.items() if c >= MIN_COUNT]
     if not cand:
         return None
@@ -173,7 +204,7 @@ def build_dictionary(data: np.ndarray, max_words2: Optional[int] = None
         + sum(cnt[w] * (len(w) - 2) for w in d.words2)
         - lead_cost
     )
-    if total_savings < len(raw) // 64:  # not worth the stage
+    if total_savings < n_raw // 64:  # not worth the stage
         return None
     d.build_maps()
     return d
