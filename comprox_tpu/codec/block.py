@@ -752,17 +752,20 @@ def _rev_runmin(m, inf):
     return m
 
 
-def _diag_run_len(eq1, diag):
+def _diag_run_len(eq1, diag, with_tail: bool = True):
     """Per-position run length of eq1 along the candidate diagonal:
     L[i] = #bytes matching from i while cand advances in lock-step with
     the position, +1 for a final byte whose diagonal continuation is
     unknown.  eq1[i] = byte[i] == byte[cand[i]]; diag[i] = cand[i+1] ==
-    cand[i] + 1."""
+    cand[i] + 1.  ``with_tail=False`` skips the final-byte extension
+    (one whole-array gather; lengths come out at most 1 short)."""
     n = eq1.shape[0]
     inf = jnp.int32(n + 1)
     idx = jnp.arange(n, dtype=_i32)
     g = eq1 & diag
     nf = _rev_runmin(jnp.where(g, inf, idx), inf)  # first failing j >= i
+    if not with_tail:
+        return jnp.minimum(nf, n) - idx
     nf_c = jnp.minimum(nf, n - 1)
     # at the failing index the diagonal STILL held from i (diag[j] true
     # for all j < nf), so eq1[nf] is a valid last-byte extension

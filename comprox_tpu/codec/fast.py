@@ -108,7 +108,15 @@ _F_PRICES = tuple(
     )
 )
 
-_EXTW = 16  # u32 words per candidate row; usable extension = 60 bytes
+# u32 words per candidate row; usable direct extension = 4*(EXTW-1)
+# bytes (longer matches recover via the diagonal-run rule or chain as
+# further tokens)
+_EXTW = int(_os.environ.get("CPX_F_EXTW", "16"))
+# include _diag_run_len's final-byte extension (one [N] gather per
+# candidate; ~67 ms at 8 MiB on the v5e).  Measured ratio-identical to 4
+# decimals at 2 MiB with it off — lengths at most 1 short, and only on
+# diagonal-run boundaries — so the fast profile defaults it off.
+_F_DIAG_TAIL = _os.environ.get("CPX_F_DIAG_TAIL", "0") == "1"
 
 
 def _search_params(p: BlockParams) -> BlockParams:
@@ -232,7 +240,7 @@ def _f2_find(p: BlockParams, inp_flat, n):
         diag = jnp.concatenate(
             [cand[1:] == cand[:-1] + 1, jnp.zeros((1,), bool)]
         )
-        L = jnp.maximum(L, _diag_run_len(eq1, diag))
+        L = jnp.maximum(L, _diag_run_len(eq1, diag, with_tail=_F_DIAG_TAIL))
         out.append((jnp.minimum(jnp.where(ok, L, 0), cap), cand))
     return out
 
@@ -393,12 +401,18 @@ def _uniform_cf(tbits, val):
     return c, f
 
 
-def _rev_window_write(emit, word, buf, cur):
+def _rev_window_write(emit, word, buf, cur, win: int):
     """Deposit this slot's emitted words (lane-DESC order — the exact
     reverse of the decoder's lane-ASC window read) into buf at cur via a
     transposed one-hot dot.  Words are byte-split so the single-pass
     (default-precision, bf16 on TPU) dot is exact: operands are 0/1 and
-    < 256, accumulation is f32 and < 2^24."""
+    < 256, accumulation is f32 and < 2^24.
+
+    ``win < S`` shrinks the [S, win] one-hot (the dominant per-step cost
+    of the encode loop); a slot-step emitting more than win words would
+    write garbage, so the caller tracks the max count and retries with
+    win == S when the narrow window overflowed (rare: typical slot-steps
+    emit ~S/10 words)."""
     s = emit.shape[0]
     er = emit[::-1]
     wr = word[::-1].astype(_u32)
@@ -410,7 +424,7 @@ def _rev_window_write(emit, word, buf, cur):
         k *= 2
     idx = (acc - inc).astype(_i32)
     oh = (
-        jax.lax.broadcasted_iota(_i32, (s, s), 1) == idx[:, None]
+        jax.lax.broadcasted_iota(_i32, (s, win), 1) == idx[:, None]
     ) & er[:, None]
     lohi = jnp.stack(
         [(wr & 0xFF).astype(jnp.float32), (wr >> 8).astype(jnp.float32)],
@@ -423,13 +437,17 @@ def _rev_window_write(emit, word, buf, cur):
         seg[:, 0].astype(_u32) | (seg[:, 1].astype(_u32) << 8)
     ).astype(jnp.uint16)
     buf = jax.lax.dynamic_update_slice(buf, seg16, (cur,))
-    return buf, cur + acc[-1].astype(_i32)
+    count = acc[-1].astype(_i32)
+    return buf, cur + count, count
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _encode_fast(p: BlockParams, inp, n):
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _encode_fast(p: BlockParams, inp, n, win: int = 0):
     """Full F2 encode.  Returns (freq [W_SYM], states [S], buf — compact
-    stream words in REVERSED order from index 0, n_words, n_tok)."""
+    stream words in REVERSED order from index 0, n_words, n_tok,
+    max_count).  ``win`` bounds the per-slot-step window write (0 = S);
+    max_count > win means the narrow window overflowed and the caller
+    must retry with win = S (encode_block_fast_start does)."""
     inp_flat = inp.reshape(-1)
     ts, take, src = _fast_find_matches(p, inp_flat, n)
 
@@ -464,11 +482,13 @@ def _encode_fast(p: BlockParams, inp, n):
     # event/byte amortized (literal = 1 event; match = 3 events per >= 4
     # bytes), so n_words <= cap_tok
 
+    w_eff = win if win else S
+
     def slot_slice(a, t):
         return jax.lax.dynamic_slice(a, (t * S,), (S,))
 
     def body(carry):
-        t, x, cur, buf = carry
+        t, x, cur, buf, mx = carry
         t = t - 1
         # slots reversed (rANS is LIFO): XTR2, XTR1, SYM
         for c_a, f_a in (
@@ -477,8 +497,9 @@ def _encode_fast(p: BlockParams, inp, n):
             (slot_slice(ca, t), slot_slice(fa, t)),
         ):
             x, em, wd = rans.enc_put(x, c_a, f_a)
-            buf, cur = _rev_window_write(em, wd, buf, cur)
-        return t, x, cur, buf
+            buf, cur, cnt = _rev_window_write(em, wd, buf, cur, w_eff)
+            mx = jnp.maximum(mx, cnt)
+        return t, x, cur, buf, mx
 
     def cond(carry):
         return carry[0] > 0
@@ -488,9 +509,10 @@ def _encode_fast(p: BlockParams, inp, n):
         rans.init_states(S),
         jnp.int32(0),
         jnp.zeros((pad_buf,), jnp.uint16),
+        jnp.int32(0),
     )
-    _, x, n_words, buf = jax.lax.while_loop(cond, body, carry0)
-    return freq, x, buf, n_words, n_tok
+    _, x, n_words, buf, mx = jax.lax.while_loop(cond, body, carry0)
+    return freq, x, buf, n_words, n_tok, mx
 
 
 # --------------------------------------------------------------------------
@@ -658,11 +680,24 @@ def encode_block_fast_start(data: np.ndarray, p: BlockParams):
     # mantissa bit decodes to a valid stream with wrong bytes.  The CRC
     # is F's corruption detector.
     crc = zlib.crc32(data.tobytes()) & 0xFFFFFFFF
-    return crc, _encode_fast(p, jnp.asarray(buf), jnp.int32(n))
+    # Window width for the stream writes.  A narrow window makes the
+    # [S, win] one-hot writes ~4x cheaper but measured UNSAFE on real
+    # content: doc text hit slot-steps with 351 of 512 lanes emitting
+    # (S/4 = 128 overflowed, forcing the full-width retry and paying both
+    # encodes — a net 1.6x slowdown).  Default = full width; the knob and
+    # the overflow-retry stay for sparse-emission content classes.
+    win = int(_os.environ.get("CPX_F_ENC_WIN", "0")) or p.lanes
+    dev = jnp.asarray(buf)
+    return crc, p, dev, int(n), win, _encode_fast(p, dev, jnp.int32(n), win)
 
 
 def encode_block_fast_finish(started) -> bytes:
-    crc, (freq, states, buf, n_words, n_tok) = started
+    crc, p, dev, n, win, handles = started
+    freq, states, buf, n_words, n_tok, mx = handles
+    if int(mx) > win:  # narrow-window overflow: redo at full width
+        freq, states, buf, n_words, n_tok, mx = _encode_fast(
+            p, dev, jnp.int32(n), 0
+        )
     nw = int(n_words)
     # buf holds the words in reversed decode order from index 0
     stream = _fetch_prefix(buf, nw)[::-1]
