@@ -251,11 +251,55 @@ def main() -> None:
     enc_mbps = data.size / enc_s / 1e6
     dec_mbps = data.size / dec_s / 1e6
     bpb = csize * 8 / data.size
+
+    # comparability (round-3 verdict #5): this config is PINNED to the
+    # BENCH_r03 run (32MiB corpus, mode R, 8MiB blocks, G=1, 512 lanes);
+    # the metric text carries the explicit delta vs that record, and any
+    # future corpus/knob change must be spelled out here too.
+    r03 = 0.254  # BENCH_r03.json, same corpus + config
+    vs_r03 = (
+        f", r03 same-config 0.254 MB/s ({(enc_mbps / r03 - 1) * 100:+.0f}%)"
+        if corpus_mb == 32 and block_mb == 8 and group == 1 and lanes == 512
+        else ", CONFIG DIFFERS FROM r03 (0.254 MB/s at 32MiB/R/8MiB/G1/512)"
+    )
+
+    # fast profile on the SAME corpus bytes: mode F2's speed story, in
+    # the metric text only (headline value stays the r03-comparable R
+    # number).  Failure here must not erase the headline.
+    f_txt = ""
+    try:
+        from comprox_tpu.cli.main import make_params
+
+        fp = make_params("crf", {"lanes": lanes, "block_mb": block_mb})
+        warm = data[: min(fp.block.capacity, 1 << 20)]
+        buf = io.BytesIO()
+        container.encode_stream(warm, buf, fp, group=1)
+        buf.seek(0)
+        out = io.BytesIO()
+        container.decode_stream(buf, out, group=1)
+        assert out.getvalue() == warm.tobytes()
+        t0 = time.time()
+        buf = io.BytesIO()
+        fsize = container.encode_stream(data, buf, fp, group=1)
+        f_enc = data.size / (time.time() - t0) / 1e6
+        buf.seek(0)
+        out = io.BytesIO()
+        t0 = time.time()
+        container.decode_stream(buf, out, group=1)
+        f_dec = data.size / (time.time() - t0) / 1e6
+        if out.getvalue() == data.tobytes():
+            f_txt = (
+                f"; fast profile crf same corpus: enc {f_enc:.2f} /"
+                f" dec {f_dec:.2f} MB/s, {fsize * 8 / data.size:.3f} bpb"
+            )
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"bench: crf extra run failed: {e!r}\n")
+
     emit(
         f"single-chip encode throughput, {corpus_mb:g}MiB doc-text corpus,"
         f" {plat}, block={block_mb:g}MiB x{group}-batched, round-trip"
         f" verified (decode {dec_mbps:.2f} MB/s, ratio"
-        f" {csize / data.size:.4f}, {bpb:.3f} bpb)",
+        f" {csize / data.size:.4f}, {bpb:.3f} bpb{vs_r03}{f_txt})",
         enc_mbps,
         degraded,
     )
