@@ -41,6 +41,7 @@ rANS drain invariant, so single-bit corruption anywhere raises ValueError.
 from __future__ import annotations
 
 import itertools
+import os as _os
 import struct
 import zlib
 from dataclasses import dataclass
@@ -419,6 +420,18 @@ def encode_stream(
                 # stored fallback (incompressible block) falsifies it,
                 # in which case the dispatch is redone from the
                 # committed tables (write_group reverts those).
+                # CPX_CHAIN_SPEC=0 restores the round-3 sequential
+                # behavior (finish block i before dispatching i+1) —
+                # the A/B control for the ledger measurement.
+                if _os.environ.get("CPX_CHAIN_SPEC", "1") == "0":
+                    if pending_c is not None:
+                        st_p, h_p, tb_p = pending_c
+                        write_group(
+                            st_p,
+                            [(encode_block_chained_finish(h_p), tb_p)],
+                        )
+                        pending_c = None
+                    spec_tables = chain_tables
                 blk = staged[0][1]
                 handles, tb_after = encode_block_chained_start(
                     blk, cp.block, spec_tables
