@@ -89,6 +89,63 @@ def build_corpus(n_bytes: int) -> np.ndarray:
     return data.copy()
 
 
+def build_corpus_file(path: str, n_bytes: int) -> None:
+    """Stream the SAME corpus bytes as build_corpus to ``path`` without
+    ever holding the whole corpus (or its chunk list) in host memory —
+    the scale runs memory-map the result (VERDICT r3 #7: 1 GiB peak RSS
+    was dominated by whole-file host arrays, not the codec)."""
+    total = 0
+    with open(path, "wb") as f:
+
+        def put(b: bytes) -> int:
+            nonlocal total
+            take = min(len(b), n_bytes - total)
+            f.write(b[:take])
+            total += take
+            return total
+
+        for p in sorted(Path("/usr/share/doc").rglob("copyright")):
+            try:
+                b = p.read_bytes()
+            except OSError:
+                continue
+            if put(b) >= n_bytes:
+                return
+        for root in ("/opt/venv/lib", "/usr/lib/python3.11"):
+            if total >= n_bytes:
+                return
+            for p in sorted(Path(root).rglob("*.py")):
+                try:
+                    b = p.read_bytes()
+                except OSError:
+                    continue
+                if put(b) >= n_bytes:
+                    return
+        # tile: re-read what was already written (same cyclic content as
+        # build_corpus's chunk recycling, which repeats the real content
+        # in the same order)
+        base = total
+        if base == 0:
+            rng = np.random.default_rng(42)
+            words = [b"the ", b"compression ", b"of ", b"data ", b"blocks ",
+                     b"with ", b"adaptive ", b"models ", b"and ", b"entropy ",
+                     b"coding ", b"on ", b"tensor ", b"processing ", b"units "]
+            while total < n_bytes:
+                put(words[int(rng.integers(0, len(words)))])
+            return
+        f.flush()
+        with open(path, "rb") as r:
+            off = 0
+            while total < n_bytes:
+                r.seek(off)
+                b = r.read(min(1 << 24, base - off, n_bytes - total))
+                if not b:
+                    off = 0
+                    continue
+                off += len(b)
+                put(b)
+
+
 def emit(metric: str, value: float, extra: str = "") -> None:
     """The one JSON line the driver records; every exit path lands here."""
     print(

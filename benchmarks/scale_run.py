@@ -33,7 +33,7 @@ def main() -> None:
     mode = os.environ.get("SCALE_MODE", "R")
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from bench import build_corpus
+    from bench import build_corpus_file
     from comprox_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -58,9 +58,23 @@ def main() -> None:
         f"/tmp/scale_{int(mb)}.cpx",
         f"/tmp/scale_{int(mb)}.out",
     )
-    data = build_corpus(n)
-    data.tofile(src_path)
-    src_md5 = hashlib.md5(data.tobytes()).hexdigest()
+    def md5_file(path: str) -> str:
+        h = hashlib.md5()
+        with open(path, "rb") as f:
+            while True:
+                b = f.read(1 << 24)
+                if not b:
+                    return h.hexdigest()
+                h.update(b)
+
+    # streamed corpus + memory-map: the codec never needs the whole
+    # input resident (VERDICT r3 #7 — the 10.9 GB RSS at 1 GiB was
+    # whole-file HOST arrays: the chunk-join, the src copy, the
+    # whole-file md5/tobytes).  iter_blocks slices the memmap per
+    # block; the dictionary passes are chunked (codec/dictionary.py).
+    build_corpus_file(src_path, n)
+    src_md5 = md5_file(src_path)
+    data = np.memmap(src_path, dtype=np.uint8, mode="r")
 
     t0 = time.time()
     with open(arc_path, "wb") as f:
@@ -73,8 +87,7 @@ def main() -> None:
         total = container.decode_stream(f, g, group=group)
     dec_s = time.time() - t0
 
-    out_md5 = hashlib.md5(open(out_path, "rb").read()).hexdigest()
-    ok = out_md5 == src_md5 and total == n
+    ok = md5_file(out_path) == src_md5 and total == n
     peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     print(
         f"scale {mb:g}MiB mode={mode} block={block_mb:g}MiB x{group}"
