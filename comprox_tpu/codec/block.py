@@ -1787,6 +1787,24 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
             (dist if p.mode == "X" else rolz_fill),
             p1.astype(jnp.int16),
         ]
+        # A-distribution internals for the SSE probe
+        # (benchmarks/sse_probe.py): the coding-time structural freqs +
+        # total, the o3/o2 confidences, and match availability
+        iota = jax.lax.broadcasted_iota(_i32, rowmod.shape, 1)
+
+        def _f_of(s):
+            return jnp.sum(jnp.where(iota == s, rowmod, 0), axis=-1)
+
+        out += [
+            _f_of(ppm.SYM_HIT),
+            _f_of(ppm.SYM_HIT2),
+            _f_of(ppm.SYM_ESC),
+            _f_of(ppm.SYM_MATCH),
+            tot_a,
+            conf,
+            conf2,
+            do_match,
+        ]
     return c, tuple(out)
 
 
