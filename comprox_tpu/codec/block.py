@@ -1663,9 +1663,14 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
         length = jnp.zeros((p.lanes,), _i32)
         do_match = jnp.zeros((p.lanes,), bool)
 
-    # ---- A event
-    tbs, rows2, rowmod, cums_a, tot_a, o2_hd = ppm.read_o2(
-        c["tables"], ctx2, pred, coding, conf, pred2, valid2
+    # ---- A event (SSE: the match-mass reshape keys on the bucket fill,
+    # which the search pass computed identically to the decoder's replay)
+    sse_fill = (
+        rolz_fill if (p.mode == "R" and p.match and ppm.SSE) else None
+    )
+    tbs, rows2, rowmod, cums_a, tot_a, o2_hd, sse_st = ppm.read_o2(
+        c["tables"], ctx2, pred, coding, conf, pred2, valid2,
+        sse_fill=sse_fill,
     )
     f_byte = jnp.sum(
         jnp.where(
@@ -1749,6 +1754,8 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
         o2_halve_delta=o2_hd, len_ctx=len_ctx, idx_ctx=idx_ctx,
         o3_raw=o3raw, pred2=pred2, conf2=conf2,
     )
+    if sse_st is not None:
+        tbs = ppm.sse_update(tbs, sse_st, coding, is_match)
     extra = []
     if p.mode == "X":
         # D/E events read the step-start mant table (apply_updates never
@@ -1890,9 +1897,19 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
         w, used = rans.stream_window_read(win, need, jnp.uint32(0))
         return rans.dec_renorm(x_tmp, need, w), off + used
 
-    # ---- A event
-    tbs, rows2, rowmod, cums_a, tot_a, o2_hd = ppm.read_o2(
-        c["tables"], ctx2, pred, coding, conf, pred2, valid2
+    # ---- A event.  Mode R pulls its bucket row (and fill) BEFORE the A
+    # decode: the gather depends only on already-decoded context bytes,
+    # and the SSE match-mass reshape needs the fill (the same gather
+    # later serves the B event's idx context + source lookup).
+    rolz_rows = None
+    fill = None
+    if p.mode == "R" and p.match:
+        rctx_r = _rolz_ctx(c, p)
+        rolz_rows = c["rolz_ent"][rctx_r]
+        fill = jnp.sum((rolz_rows[..., 0] > 0).astype(_i32), axis=1)
+    tbs, rows2, rowmod, cums_a, tot_a, o2_hd, sse_st = ppm.read_o2(
+        c["tables"], ctx2, pred, coding, conf, pred2, valid2,
+        sse_fill=fill if ppm.SSE else None,
     )
     slot = rans.dec_slot(x)
     tgt = rans.dec_target(slot, jnp.maximum(tot_a, 1))
@@ -1920,11 +1937,11 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     sym_dst = jnp.zeros((p.lanes,), _i32)
     len_ctx = jnp.zeros((p.lanes,), _i32)
     idx_ctx = jnp.zeros((p.lanes,), _i32)
-    rolz_rows = None
     if p.mode == "R":
-        rctx_r = _rolz_ctx(c, p)
-        rolz_rows = c["rolz_ent"][rctx_r]  # one gather serves idx ctx + src
-        fill = jnp.sum((rolz_rows[..., 0] > 0).astype(_i32), axis=1)
+        if rolz_rows is None:  # match layer off: gather here as before
+            rctx_r = _rolz_ctx(c, p)
+            rolz_rows = c["rolz_ent"][rctx_r]
+            fill = jnp.sum((rolz_rows[..., 0] > 0).astype(_i32), axis=1)
         idx_ctx = _fill_bucket(fill)
         tbs, rows_i, cums_i, tot_i = ppm.read_idx(tbs, is_match, idx_ctx)
         tgt_i = rans.dec_target(slot_b, jnp.maximum(tot_i, 1))
@@ -2055,6 +2072,8 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     )
     if mant_upd is not None:
         tbs = _mant_update(tbs, *mant_upd)
+    if sse_st is not None:
+        tbs = ppm.sse_update(tbs, sse_st, coding, is_match)
     c = dict(c)
     c["tables"] = tbs
     c = _post_step(

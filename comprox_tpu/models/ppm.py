@@ -112,6 +112,8 @@ def init_tables(match_enabled: bool, o3_bits: int = 22) -> dict:
         # k-5 in [0, 12); tiny and dense — reads AND updates are exact
         # one-hot matmuls, no random access (block.py _mant_read/update)
         "mant": jnp.ones((16, 16), _i32),
+        # SSE/APM on the A event's match mass (mode 'R'; see init_sse)
+        "sse": init_sse(),
     }
 
 
@@ -152,9 +154,10 @@ CONF_BOOST = _env("CONF_BOOST", 0)
 # the round-2 o3 collision rule: summed row deltas replaced winner-dedup
 # writes; rev 3 = 2-way o3 entries + SYM_HIT2; rev 4 = adaptive distance-
 # mantissa top bits in mode 'X'; rev 5 = lzp_hash8 distinct per-half
-# multipliers, mode 'P').  Rides format_fingerprint so old archives fail
+# multipliers, mode 'P'; rev 6 = SSE/APM reshape of the A event's match
+# mass, mode 'R').  Rides format_fingerprint so old archives fail
 # cleanly.
-FORMAT_REV = 5
+FORMAT_REV = 6
 
 
 def format_fingerprint() -> int:
@@ -170,6 +173,7 @@ def format_fingerprint() -> int:
         DST_INC, DST_CAP, DST_W, MANT_INC, MANT_CAP, N_SHARED_CTX,
         IDX_W, LEN_W, O2_W, CONF_BOOST, FORMAT_REV,
         O2_MAXCAP, O2_EE, O3_GROUPS, O3_GROUPUPD, O3_2WAY,
+        SSE, SSE_NCTX, SSE_RATE_SH,
     )
     return zlib.crc32(repr(knobs).encode()) & 0xFFFFFFFF
 
@@ -238,10 +242,17 @@ def _o2_rescale(rows0):
     return rows, did
 
 
-def read_o2(t, ctx2, pred, coding, conf=None, pred2=None, valid2=None):
+def read_o2(
+    t, ctx2, pred, coding, conf=None, pred2=None, valid2=None,
+    sse_fill=None,
+):
     """Gather + rescale + exclude-predicted for the A event.
 
-    Returns (tables, rows, rowmod, cums, tot, halve_delta).  ``rowmod`` has
+    Returns (tables, rows, rowmod, cums, tot, halve_delta, sse_state).
+    ``sse_state`` is None unless ``sse_fill`` is given (mode 'R' with the
+    SSE stage on); it feeds sse_update after the A symbol is known.
+
+    ``rowmod`` has
     the predicted byte's slot zeroed; escape slot is clamped >= 1
     read-locally (it can be driven negative by escape elimination).
     ``halve_delta`` carries the rescale as per-winner row deltas so the
@@ -288,8 +299,11 @@ def read_o2(t, ctx2, pred, coding, conf=None, pred2=None, valid2=None):
         )[:, None]
         boosted = (rowmod + (1 << shift) - 1) >> shift
         rowmod = jnp.where(slot_ids == SYM_HIT, rowmod, boosted)
+    sse_state = None
+    if sse_fill is not None and SSE:
+        rowmod, sse_state = _sse_reshape(t, rowmod, sse_fill)
     cums = tb.exclusive_cumsum(rowmod)
-    return t, rows, rowmod, cums, tb.row_total(rowmod), halve_delta
+    return t, rows, rowmod, cums, tb.row_total(rowmod), halve_delta, sse_state
 
 
 def read_o1_excl(t, p1, o2_rows, pred, esc_mask, pred2=None, valid2=None):
@@ -381,6 +395,126 @@ def _read_shared_ctx(t, mask, key, cap, ctx, n_ctx=N_SHARED_CTX):
         cums = jnp.where(sel, cums_tab[r], cums)
         tots = jnp.where(sel[:, 0], jnp.sum(tab[r]), tots)
     return t, rows, cums, tots
+
+
+# --------------------------------------------------------------------------
+# SSE / APM secondary estimation on the A event's match mass (round 4).
+#
+# The adaptive o2 row reserves SYM_MATCH mass in every context, including
+# steps whose ROLZ bucket is EMPTY (a match is impossible) and contexts
+# where matches never fire — the sse_probe.py capture measured that waste
+# at ~30% of the match-flag bits (~2.6% of ALL model bits) on doc text.
+# The fix is the classic SSE/APM rung above PPM (lpaq's APM_t), built
+# TPU-native: a dense [SSE_NCTX, 33] probability table on a stretch-
+# quantized scale, 2-point interpolated read, rate-1/32 update — all
+# in-row selects and masked reductions, zero random access, identical
+# integer arithmetic on both sides.  Read-time only (like CONF_BOOST):
+# the SYM_MATCH slot of rowmod is rescaled so that
+# p(match | non-hit mass) equals the APM estimate; nonzero slots stay
+# >= 1 so decodability is unchanged.  The APM context is the bucket
+# fill class (0 = empty, 1..4 = fill quartiles) — decoder-replayable
+# (the decoder replays bucket evolution; fill already keys the idx
+# model).  No reference analogue: richox/comprox has no SSE stage.
+# --------------------------------------------------------------------------
+SSE = _env("SSE", 1)  # 0 disables (format-relevant, fingerprinted)
+SSE_NCTX = 5
+SSE_RATE_SH = 5  # update rate 2^-5 per event
+SSE_LO, SSE_HI = 256, 65280  # probability clamp (16-bit fixed point)
+# squash((j-16)/2) for j in 0..32, 16-bit fixed point (hardcoded so both
+# sides share exact integers)
+_SSE_THR = (
+    22, 36, 60, 98, 162, 267, 439, 720, 1179, 1921, 3108, 4971, 7812,
+    11955, 17625, 24743, 32768, 40793, 47911, 53581, 57724, 60565,
+    62428, 63615, 64357, 64816, 65097, 65269, 65374, 65438, 65476,
+    65500, 65514,
+)
+_SSE_THR_J = jnp.asarray(_SSE_THR, _i32)
+_SSE_SPAN_J = jnp.asarray(
+    tuple(b - a for a, b in zip(_SSE_THR, _SSE_THR[1:])), _i32
+)
+
+
+def init_sse():
+    """Identity-initialized APM table, flat [SSE_NCTX * 33]."""
+    return jnp.tile(
+        jnp.clip(_SSE_THR_J, SSE_LO, SSE_HI), (SSE_NCTX,)
+    ).astype(_i32)
+
+
+def sse_ctx_of(fill):
+    """APM context from the ROLZ bucket fill count (both sides replay
+    the same bucket state, so this is decoder-known before the A event)."""
+    return jnp.where(
+        fill > 0, 1 + jnp.clip((fill - 1) // 16, 0, 3), 0
+    ).astype(_i32)
+
+
+def _sse_reshape(t, rowmod, fill):
+    """Rescale rowmod's SYM_MATCH slot to the APM's secondary estimate.
+
+    Returns (rowmod', state) where state = (flat bin, interp weight,
+    bin values) feeds sse_update after the A symbol is known.  All
+    intermediates fit int32: probabilities are 12-bit for the mass
+    solve (p * rest <= 4095 * 2^15 < 2^27) and 16-bit in the table.
+    """
+    sse = t["sse"]
+    k = SSE_NCTX * 33
+    slot_ids = jax.lax.broadcasted_iota(_i32, rowmod.shape, 1)
+    f_m = jnp.sum(jnp.where(slot_ids == SYM_MATCH, rowmod, 0), axis=1)
+    f_h = jnp.sum(jnp.where(slot_ids == SYM_HIT, rowmod, 0), axis=1)
+    f_h2 = jnp.sum(jnp.where(slot_ids == SYM_HIT2, rowmod, 0), axis=1)
+    tot0 = tb.row_total(rowmod)
+    rest = jnp.maximum(tot0 - f_h - f_h2, 1)
+    p16 = jnp.clip(f_m * 4096 // rest, 1, 4095) << 4
+
+    # stretch-scale quantize: bin i, weight w in [0, 64]
+    i = jnp.sum(
+        (p16[:, None] >= _SSE_THR_J[None, 1:32]).astype(_i32), axis=1
+    )
+    # per-lane gathers serialize on TPU (PERF.md): select the threshold/
+    # span with masked reductions instead
+    iota33 = jax.lax.broadcasted_iota(_i32, (rowmod.shape[0], 32), 1)
+    sel_i = iota33 == i[:, None]
+    thr_i = jnp.sum(jnp.where(sel_i, _SSE_THR_J[None, :32], 0), axis=1)
+    span_i = jnp.maximum(
+        jnp.sum(jnp.where(sel_i, _SSE_SPAN_J[None, :], 0), axis=1), 1
+    )
+    w = jnp.clip((p16 - thr_i) * 64 // span_i, 0, 64)
+
+    flat = sse_ctx_of(fill) * 33 + i
+    iota = jax.lax.broadcasted_iota(_i32, (rowmod.shape[0], k), 1)
+    t_i = jnp.sum(jnp.where(iota == flat[:, None], sse[None, :], 0), axis=1)
+    t_ip1 = jnp.sum(
+        jnp.where(iota == (flat + 1)[:, None], sse[None, :], 0), axis=1
+    )
+    p_sse = ((64 - w) * t_i + w * t_ip1) >> 6
+    ps12 = jnp.clip(p_sse >> 4, 1, 4095)
+    f_new = ps12 * (rest - f_m) // (4096 - ps12)
+    f_new = jnp.clip(f_new, 1, f_m + jnp.maximum((1 << 15) - tot0, 0))
+    rowmod = jnp.where(slot_ids == SYM_MATCH, f_new[:, None], rowmod)
+    return rowmod, (flat, w, t_i, t_ip1)
+
+
+def sse_update(t, state, coding, is_match):
+    """APM update toward the observed match flag (batched: colliding
+    lanes sum their deltas at the step-start value, deterministically on
+    both sides, like every other table here)."""
+    flat, w, t_i, t_ip1 = state
+    k = SSE_NCTX * 33
+    h_m = (is_match.astype(_i32) << 16)
+    d_i = ((64 - w) * (h_m - t_i)) >> (6 + SSE_RATE_SH)
+    d_ip1 = (w * (h_m - t_ip1)) >> (6 + SSE_RATE_SH)
+    iota = jax.lax.broadcasted_iota(_i32, (flat.shape[0], k), 1)
+    cm = coding[:, None]
+    delta = jnp.sum(
+        jnp.where((iota == flat[:, None]) & cm, d_i[:, None], 0), axis=0
+    ) + jnp.sum(
+        jnp.where((iota == (flat + 1)[:, None]) & cm, d_ip1[:, None], 0),
+        axis=0,
+    )
+    t = dict(t)
+    t["sse"] = jnp.clip(t["sse"] + delta, SSE_LO, SSE_HI)
+    return t
 
 
 def apply_updates(

@@ -58,7 +58,9 @@ class TestPPM:
         pred = jnp.asarray([65, 66], jnp.int32)
         coding = jnp.ones((2,), bool)
         t["o2"] = t["o2"].at[7, 65].set(40).at[7, 66].set(24)
-        t2, rows, rowmod, cums, tot, hd = ppm.read_o2(t, ctx2, pred, coding)
+        t2, rows, rowmod, cums, tot, hd, _ = ppm.read_o2(
+            t, ctx2, pred, coding
+        )
         rm = np.asarray(rowmod)
         assert rm[0, 65] == 0 and rm[1, 66] == 0  # predicted excluded
         assert rm[0, 66] == 24 and rm[1, 65] == 40
