@@ -77,7 +77,7 @@ def capture(size_mb: float):
     }, n
 
 
-EPS = 1.0 / 4096.0
+EPS = float(os.environ.get("SSE_EPS", 1.0 / 4096.0))
 
 
 def stretch(p):

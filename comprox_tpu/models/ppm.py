@@ -419,7 +419,12 @@ def _read_shared_ctx(t, mask, key, cap, ctx, n_ctx=N_SHARED_CTX):
 SSE = _env("SSE", 1)  # 0 disables (format-relevant, fingerprinted)
 SSE_NCTX = 5
 SSE_RATE_SH = 5  # update rate 2^-5 per event
-SSE_LO, SSE_HI = 256, 65280  # probability clamp (16-bit fixed point)
+# probability clamp (16-bit fixed point).  LO must reach the stretch
+# scale's bottom bin: the match-flag win comes from driving p(match)
+# toward 0 in empty-bucket contexts, and an LO of 256 (p >= 1/256)
+# forfeited ~3/4 of the probe's predicted savings (measured on-chip:
+# -0.44% bpb at LO=256 vs the probe's ~-2%; see PERF).
+SSE_LO, SSE_HI = 16, 65520
 # squash((j-16)/2) for j in 0..32, 16-bit fixed point (hardcoded so both
 # sides share exact integers)
 _SSE_THR = (
