@@ -63,10 +63,16 @@ def parse_args(argv):
     switches = [a for a in argv[1:] if a != "-" and a.startswith("-")]
     opts = {"block_mb": 16, "lanes": 256, "filters": False, "quiet": False,
             "precomp": False, "jobs": 0, "group": 1, "window": 250,
-            "depth": 40, "flexible": True, "chain": False}
+            "depth": 40, "flexible": True, "chain": False,
+            "chain_match": False}
     for s in switches:
         if s == "-c":
             opts["chain"] = True
+        elif s == "-C":
+            # chain mode v2 (crz): also carry the ROLZ bucket table and
+            # the previous block's bytes — match reach spans two blocks
+            opts["chain"] = True
+            opts["chain_match"] = True
         elif s.startswith("-b"):
             opts["block_mb"] = float(s[2:])
         elif s.startswith("-l"):
@@ -134,6 +140,7 @@ def make_params(codec_name: str, opts) -> ContainerParams:
         # price high and steal o2/o3 training bytes.  Capability kept
         # (format + tests), default off.
         short_depth=0,
+        chain_match=opts.get("chain_match", False),
     )
     return ContainerParams(codec=CODEC_BYTE.get(codec_name, b"P"), block=bp)
 

@@ -108,6 +108,16 @@ class BlockParams:
     # position literal vs any admissible truncation of the found match.
     # False = greedy accept-longest with a one-step lazy check (the
     # reference's default parse).  Pure encoder policy, not format.
+    chain_match: bool = False  # chain mode v2: carry the ROLZ bucket
+    # table AND the previous block's bytes across chained blocks — the
+    # reference's matcher window spans its whole 16 MiB split while ours
+    # reset per block (the measured residual scale gap, PERF.md).
+    # Positions become window-absolute over [prev block | this block]
+    # (bucket entries remap p -> max(p - N, 0) at each block boundary;
+    # both sides replay the rule, sources < N read the previous block's
+    # bytes — always causal, they are fully decoded).  Format-relevant:
+    # rides the container header (F_CHAIN_MATCH); only meaningful under
+    # chain mode, mode 'R', flexible parse, sort finder, short_depth 0.
 
     def __post_init__(self):
         if self.lanes % 8 or self.lanes < 8:
@@ -138,6 +148,16 @@ class BlockParams:
                 raise ValueError(
                     f"rolz_depth + short_depth must be <= {IDX_W}"
                 )
+        if self.chain_match and (
+            self.mode != "R"
+            or not self.match
+            or not self.flexible
+            or self.short_depth
+        ):
+            raise ValueError(
+                "chain_match requires mode R with the match layer, "
+                "flexible parse and short_depth=0"
+            )
         if self.mode in ("X", "F") and self.lanes * self.steps > (1 << 24):
             # distance code space: buckets 0..23 cover dist < 2^24 and the
             # mantissa events carry at most 24 bits; a larger block would
@@ -627,7 +647,9 @@ def _post_step(c, t, n, p: BlockParams, pos, active, byte, is_match, src,
             ins = ins & (pos % p.rolz_dec == 0)
         # key bytes precede entry position q = pos-3: [q-k, q)
         rctx = rolz_hash3(_rolz_key(ctx4bn, p), p.rolz_bits)
-        c = _bucket_insert(c, p, rctx, ins, pos, _byteswap32(ctx4n))
+        # chain_match: entries are window-absolute over [prev | cur]
+        ipos = pos + (p.capacity if p.chain_match else 0)
+        c = _bucket_insert(c, p, rctx, ins, ipos, _byteswap32(ctx4n))
         if p.short_depth:
             # short table keyed by the single byte at q-1 (= pos-4, the
             # low byte of the updated ctx4b register); every position
@@ -1208,6 +1230,14 @@ def _rolz_rank_body(p: BlockParams, inp_pad, inp_w32, n, n_c, c, xs):
         jnp.minimum(p.steps - t, n - pos),
         min(p.window, p.min_len + ppm.LEN_W - 1),
     )
+    if p.chain_match:
+        # sources in the previous block (src < N) are always decode-
+        # causal, but a match must not extend past the window boundary:
+        # bytes at [N, ...) belong to positions not yet decoded at
+        # arbitrary steps
+        cap = jnp.minimum(
+            cap, jnp.where(src_b < p.capacity, p.capacity - src_b, cap)
+        )
     valid_b = (sc_b == 4) & active & (t >= 7)
     outs += [
         jnp.where(valid_b, jnp.minimum(len_b, jnp.maximum(cap, 0)), 0),
@@ -1222,11 +1252,23 @@ def _rolz_rank_body(p: BlockParams, inp_pad, inp_w32, n, n_c, c, xs):
     return c, tuple(outs) + (fill,)
 
 
-def _rolz_rank_scan(p: BlockParams, inp_pad, inp_w32, n, props):
+def _remap_chain_ment(p: BlockParams, ment):
+    """Shift a carried bucket table one block back in the window:
+    positions q -> max(q - N, 0).  Entries from the block just coded land
+    in the prev region [1, N]; anything older dies (0 = empty, prefix
+    cleared).  Both sides replay this at every chained block boundary."""
+    pos = jnp.maximum(ment[..., 0] - p.capacity, 0)
+    pref = jnp.where(pos > 0, ment[..., 1], 0)
+    return jnp.stack([pos, pref], axis=-1)
+
+
+def _rolz_rank_scan(p: BlockParams, inp_pad, inp_w32, n, props, ment0=None):
     """props: [(len [N], src [N])] -> (flat candidate triples [T, S]
     l/s/idx each — the props, membership-checked, plus one cache-scored
     bucket candidate — and fill [T, S])."""
     carry = _init_carry(p, enc_side=True, search=True)
+    if ment0 is not None:
+        carry["rolz_ent"] = _remap_chain_ment(p, ment0)
 
     def grid(v):
         return v.reshape(p.lanes, p.steps).T
@@ -1517,7 +1559,8 @@ def _rep_lengths(p: BlockParams, inp_flat, n, ts, prev_arr):
     return jnp.minimum(len_rep, jnp.maximum(cap, 0))
 
 
-def _search_and_parse(p: BlockParams, inp_pad, inp_flat, inp_w32, n):
+def _search_and_parse(p: BlockParams, inp_pad, inp_flat, inp_w32, n,
+                      ment0=None):
     """Passes 0 (search) and 0.5 (parse) -> per-step decision arrays fed
     to the modeling scan as scan inputs.  'X' runs a second, rep-aware
     parse iteration: simulate prev_dist under the first parse, measure
@@ -1531,6 +1574,11 @@ def _search_and_parse(p: BlockParams, inp_pad, inp_flat, inp_w32, n):
         and p.flexible
         and p.short_depth == 0
     )
+    if p.chain_match and not r_sort:
+        raise ValueError(
+            "chain_match supports only the sort finder "
+            "(CPX_R_FINDER=sort) with flexible parse"
+        )
     if r_sort:
         def grid(v):
             return v.reshape(p.lanes, p.steps).T
@@ -1540,7 +1588,11 @@ def _search_and_parse(p: BlockParams, inp_pad, inp_flat, inp_w32, n):
             ctx_bytes=p.rolz_ctx_bytes, insert_dec=p.rolz_dec,
             fwd_chain=_R_PROBE,
         )
-        outs, fill = _rolz_rank_scan(p, inp_pad, inp_w32, n, props)
+        if p.chain_match:
+            # sort proposals are block-local; bucket entries are window-
+            # absolute under chain_match (membership compares positions)
+            props = [(l, s + p.capacity) for l, s in props]
+        outs, fill = _rolz_rank_scan(p, inp_pad, inp_w32, n, props, ment0)
         cw0 = jnp.zeros((p.lanes, p.window), _i32)
         parse = functools.partial(_parse_body, p, n, n_c=len(outs) // 3)
         _, (take, src, idx) = jax.lax.scan(
@@ -1816,24 +1868,46 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _encode_passes(p: BlockParams, inp, n, tables0=None):
+def _encode_passes(p: BlockParams, inp, n, tables0=None, ment0=None,
+                   prev=None):
     """Pass 1 (modeling) + pass 2 (backward rANS).  Returns device arrays:
     (states [S] u32, emit [T,n_slots,S] bool, words [T,n_slots,S] u16,
-    debug, final PPM tables).  ``tables0`` overrides the fresh per-block
-    PPM tables — the chain mode's model carry-over (the reference resets
-    models once per FILE, src/main.c:174-206; match tables still reset
-    per block, matching its per-block matcher_init)."""
+    debug, final PPM tables[, final match table under chain_match]).
+    ``tables0`` overrides the fresh per-block PPM tables — the chain
+    mode's model carry-over (the reference resets models once per FILE,
+    src/main.c:174-206).  Under p.chain_match, ``ment0``/``prev`` carry
+    the previous block's final bucket table and padded byte buffer: the
+    search extends candidates over the [prev | cur] window (the
+    reference's matcher window spans its whole 16 MiB split)."""
     inp_flat = inp.reshape(-1)
-    inp_w32 = _pack_words(inp_flat)
+    if p.chain_match:
+        prev_flat = (
+            prev.reshape(-1)
+            if prev is not None
+            else jnp.zeros_like(inp_flat)
+        )
+        inp_w32 = _pack_words(jnp.concatenate([prev_flat, inp_flat]))
+    else:
+        inp_w32 = _pack_words(inp_flat)
     inp_pad = jnp.pad(inp, ((0, 0), (0, p.window + 1)))
     carry = _init_carry(p, enc_side=True)
     if tables0 is not None:
         carry["tables"] = tables0
+    if p.chain_match:
+        carry["rolz_ent"] = _remap_chain_ment(
+            p,
+            ment0
+            if ment0 is not None
+            else jnp.zeros((1 << p.rolz_bits, p.rolz_depth, 2), _i32),
+        )
     body = functools.partial(
         _encode_model_body, p, inp_pad, inp_flat, inp_w32, n
     )
     if p.match and p.mode in ("R", "X"):
-        xs = _search_and_parse(p, inp_pad, inp_flat, inp_w32, n)
+        xs = _search_and_parse(
+            p, inp_pad, inp_flat, inp_w32, n,
+            ment0=ment0 if p.chain_match else None,
+        )
     else:
         xs = jnp.arange(p.steps, dtype=_i32)
     carry, ev = jax.lax.scan(body, carry, xs)
@@ -1865,6 +1939,8 @@ def _encode_passes(p: BlockParams, inp, n, tables0=None):
     eb = emit.astype(jnp.uint8).reshape(p.steps, n_slots, p.lanes // 8, 8)
     shifts = jnp.arange(8, dtype=jnp.uint8)
     emit_packed = jnp.sum(eb << shifts, axis=-1).astype(jnp.uint8)
+    if p.chain_match:
+        return x, emit_packed, words, ev, carry["tables"], carry["rolz_ent"]
     return x, emit_packed, words, ev, carry["tables"]
 
 
@@ -2081,25 +2157,47 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
         jnp.where(is_match, sym_l, 0), enc_side=False, dist=dist,
     )
     col = jnp.where(active, byte, 0).astype(jnp.uint8)
-    out = jax.lax.dynamic_update_slice(out, col[:, None], (0, t))
+    if p.chain_match:
+        # out is the [2, S, T] window buffer: region 0 = previous block
+        # (read-only), region 1 = this block
+        out = jax.lax.dynamic_update_slice(
+            out, col[None, :, None], (1, 0, t)
+        )
+    else:
+        out = jax.lax.dynamic_update_slice(out, col[:, None], (0, t))
     return (c, x, base + step_off, out), None
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _decode_scan(p: BlockParams, states, stream, n, tables0=None):
+def _decode_scan(p: BlockParams, states, stream, n, tables0=None,
+                 ment0=None, prev=None):
     c0 = _init_carry(p, enc_side=False)
     if tables0 is not None:
         c0["tables"] = tables0
-    carry = (
-        c0,
-        states,
-        jnp.uint32(0),
-        jnp.zeros((p.lanes, p.steps), jnp.uint8),
-    )
+    if p.chain_match:
+        c0["rolz_ent"] = _remap_chain_ment(
+            p,
+            ment0
+            if ment0 is not None
+            else jnp.zeros((1 << p.rolz_bits, p.rolz_depth, 2), _i32),
+        )
+        prev_buf = (
+            prev
+            if prev is not None
+            else jnp.zeros((p.lanes, p.steps), jnp.uint8)
+        )
+        out0 = jnp.stack(
+            [prev_buf, jnp.zeros((p.lanes, p.steps), jnp.uint8)]
+        )
+    else:
+        out0 = jnp.zeros((p.lanes, p.steps), jnp.uint8)
+    carry = (c0, states, jnp.uint32(0), out0)
     body = functools.partial(_decode_body, p, stream, n)
     (c, x, base, out), _ = jax.lax.scan(
         body, carry, jnp.arange(p.steps, dtype=_i32)
     )
+    if p.chain_match:
+        return x, base, out[1], c["tables"], c["rolz_ent"]
     return x, base, out, c["tables"]
 
 
@@ -2160,53 +2258,71 @@ def encode_block(data: np.ndarray, p: BlockParams) -> bytes:
 
 
 def init_chain_tables(p: BlockParams):
-    """Fresh PPM tables for a model carry-over chain (container chain
-    mode): the reference resets models once per FILE and amortizes them
-    across all blocks (src/main.c:174-206); chain mode reproduces that
-    behavior as an opt-in, trading block-independent decode for ratio."""
-    return ppm.init_tables(p.match, p.o3_bits)
+    """Fresh chain-carry state for a model carry-over chain (container
+    chain mode): the reference resets models once per FILE and amortizes
+    them across all blocks (src/main.c:174-206); chain mode reproduces
+    that behavior as an opt-in, trading block-independent decode for
+    ratio.  A dict: ``tables`` = PPM tables; under p.chain_match also
+    ``ment`` (the carried ROLZ bucket table, window-absolute positions)
+    and ``prev`` (the previous block's padded byte buffer)."""
+    st = {"tables": ppm.init_tables(p.match, p.o3_bits)}
+    if p.chain_match:
+        st["ment"] = jnp.zeros((1 << p.rolz_bits, p.rolz_depth, 2), _i32)
+        st["prev"] = jnp.zeros((p.lanes, p.steps), jnp.uint8)
+    return st
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _encode_passes_chained_lean(p: BlockParams, inp, n, tables0):
+def _encode_passes_chained_lean(p: BlockParams, inp, n, tables0,
+                                ment0=None, prev=None):
     """Chained encode minus the debug grids (same rationale as
     _encode_passes_lean: frees the [T,3*n_slots,S] event grids once the
     rANS pass consumed them — two chained blocks can be in flight)."""
-    states, emit_packed, words, _, tables1 = _encode_passes(
-        p, inp, n, tables0
-    )
-    return states, emit_packed, words, tables1
+    outs = _encode_passes(p, inp, n, tables0, ment0=ment0, prev=prev)
+    states, emit_packed, words, _ = outs[:4]
+    return (states, emit_packed, words) + tuple(outs[4:])
 
 
-def encode_block_chained_start(data: np.ndarray, p: BlockParams, tables0):
+def encode_block_chained_start(data: np.ndarray, p: BlockParams, state0):
     """Dispatch a chained block encode (async); returns
-    ((payload handles), tables1 handles).  tables1 are device arrays the
-    NEXT block's start may consume immediately — the device dependency
-    chain serializes the scans correctly while dispatch stays ahead of
-    the result transfers (speculative chain pipelining: the container
-    re-dispatches from the pre-block tables in the rare stored-fallback
-    case)."""
+    ((payload handles), state1 handles).  state1's arrays are device
+    handles the NEXT block's start may consume immediately — the device
+    dependency chain serializes the scans correctly while dispatch stays
+    ahead of the result transfers (speculative chain pipelining: the
+    container re-dispatches from the pre-block state in the rare
+    stored-fallback case)."""
     n = int(data.size)
     assert 0 < n <= p.capacity
     buf = np.zeros((p.lanes, p.steps), np.uint8)
     buf.reshape(-1)[:n] = data
-    states, emit_packed, words, tables1 = _encode_passes_chained_lean(
-        p, jnp.asarray(buf), jnp.int32(n), tables0
-    )
-    return (states, emit_packed, words), tables1
+    dev = jnp.asarray(buf)
+    if p.chain_match:
+        states, emit_packed, words, tables1, ment1 = (
+            _encode_passes_chained_lean(
+                p, dev, jnp.int32(n), state0["tables"],
+                state0["ment"], state0["prev"],
+            )
+        )
+        state1 = {"tables": tables1, "ment": ment1, "prev": dev}
+    else:
+        states, emit_packed, words, tables1 = _encode_passes_chained_lean(
+            p, dev, jnp.int32(n), state0["tables"]
+        )
+        state1 = {"tables": tables1}
+    return (states, emit_packed, words), state1
 
 
 def encode_block_chained_finish(handles) -> bytes:
     return _pack_payload(*handles)
 
 
-def encode_block_chained(data: np.ndarray, p: BlockParams, tables0):
-    """encode_block with PPM model carry-over: code the block starting
-    from ``tables0`` and return (payload, final tables).  Match tables
-    still reset per block (the reference re-inits its matcher per block
-    too, roxmain/cr-coder.c:195)."""
-    handles, tables1 = encode_block_chained_start(data, p, tables0)
-    return encode_block_chained_finish(handles), tables1
+def encode_block_chained(data: np.ndarray, p: BlockParams, state0):
+    """encode_block with model carry-over: code the block starting from
+    ``state0`` and return (payload, state1).  Without p.chain_match the
+    match tables still reset per block (the reference re-inits its
+    matcher per block too, roxmain/cr-coder.c:195)."""
+    handles, state1 = encode_block_chained_start(data, p, state0)
+    return encode_block_chained_finish(handles), state1
 
 
 def encode_block_stats(data: np.ndarray, p: BlockParams) -> dict:
@@ -2318,22 +2434,30 @@ def decode_block(payload: bytes, n: int, p: BlockParams) -> np.ndarray:
 
 
 def decode_block_chained_start(payload: bytes, n: int, p: BlockParams,
-                               tables0):
+                               state0):
     """Dispatch a chained block decode (async); returns
-    (started, tables1 handles).  Unlike encode there is nothing to
+    (started, state1 handles).  Unlike encode there is nothing to
     speculate: stored blocks are known from their header flags before
     dispatch and never touch the models, so the next coded block can
-    chain off ``tables1`` immediately (a device-side dependency)."""
+    chain off ``state1`` immediately (a device-side dependency)."""
     n_words, states, stream_padded = _unpack_payload(payload, p)
-    x, base, out, tables1 = _decode_scan(
-        p, jnp.asarray(states), jnp.asarray(stream_padded), jnp.int32(n),
-        tables0,
-    )
-    return (n, n_words, (x, base, out, tables1)), tables1
+    if p.chain_match:
+        x, base, out, tables1, ment1 = _decode_scan(
+            p, jnp.asarray(states), jnp.asarray(stream_padded),
+            jnp.int32(n), state0["tables"], state0["ment"], state0["prev"],
+        )
+        state1 = {"tables": tables1, "ment": ment1, "prev": out}
+    else:
+        x, base, out, tables1 = _decode_scan(
+            p, jnp.asarray(states), jnp.asarray(stream_padded),
+            jnp.int32(n), state0["tables"],
+        )
+        state1 = {"tables": tables1}
+    return (n, n_words, (x, base, out, tables1)), state1
 
 
-def decode_block_chained(payload: bytes, n: int, p: BlockParams, tables0):
-    """decode_block with PPM model carry-over (inverse of
-    encode_block_chained): returns (bytes, final tables)."""
-    started, tables1 = decode_block_chained_start(payload, n, p, tables0)
-    return decode_block_finish(started), tables1
+def decode_block_chained(payload: bytes, n: int, p: BlockParams, state0):
+    """decode_block with model carry-over (inverse of
+    encode_block_chained): returns (bytes, state1)."""
+    started, state1 = decode_block_chained_start(payload, n, p, state0)
+    return decode_block_finish(started), state1

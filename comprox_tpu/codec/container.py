@@ -77,6 +77,10 @@ F_FILTER = 2
 F_CHAIN = 4  # PPM models carry over across blocks (the reference's
 # once-per-file reset, src/main.c:174-206) — opt-in: trades independent
 # block decode (mesh/group parallelism) for ratio at scale
+F_CHAIN_MATCH = 8  # chain mode v2 (mode R): the ROLZ bucket table and
+# the previous block's bytes carry over too — match reach spans two
+# blocks, like the reference's split-wide matcher window (BlockParams.
+# chain_match; implies F_CHAIN)
 
 
 @dataclass(frozen=True)
@@ -156,6 +160,7 @@ def read_header(f: BinaryIO) -> tuple[ContainerParams, int]:
         rolz_ctx_bytes=rolz_ctx_bytes,
         short_depth=short_depth,
         rolz_dec=rolz_dec,
+        chain_match=bool(flags & F_CHAIN_MATCH),
     )
     return ContainerParams(codec=codec, block=bp), flags
 
@@ -261,6 +266,8 @@ def encode_stream(
             raise ValueError(
                 "chain mode requires an adaptive-model codec (R/X/P)"
             )
+    if cp.block.chain_match and not chain:
+        raise ValueError("chain_match requires chain mode (encode chain=True)")
 
     # whole-file pass #1: build the word dictionary (src/main.c:158 ->
     # cr-dicpick.c); broadcast-equivalent: the blob rides the header
@@ -269,6 +276,7 @@ def encode_stream(
         (F_FILTER if filters else 0)
         | (F_DICT if wd else 0)
         | (F_CHAIN if chain else 0)
+        | (F_CHAIN_MATCH if (chain and cp.block.chain_match) else 0)
     )
     write_header(dst, cp, flags=flags)
     written = HEADER_LEN

@@ -277,3 +277,89 @@ def test_chain_mode_decode_ignores_group():
     out = io.BytesIO()
     decode_stream(buf, out, group=4)
     assert out.getvalue() == data.tobytes()
+
+
+# --------------------------------------------------------------------------
+# chain mode v2 (chain_match): ROLZ bucket table + previous-block bytes
+# carry over — match reach spans two blocks (F_CHAIN_MATCH)
+# --------------------------------------------------------------------------
+
+
+def _cm_params() -> ContainerParams:
+    import dataclasses
+
+    cp = params_for(b"R")
+    return ContainerParams(
+        codec=b"R", block=dataclasses.replace(cp.block, chain_match=True)
+    )
+
+
+def test_chain_match_roundtrip_and_gain():
+    """Multi-block text whose repeats span BLOCK boundaries must
+    round-trip bit-exact and beat plain chain mode (the repeated
+    content's sources live in the previous block — reachable only with
+    the carried bucket table + window)."""
+    cp_cm = _cm_params()
+    cp = params_for(b"R")
+    rng = np.random.default_rng(11)
+    words = [b"alpha ", b"bravo ", b"charlie ", b"delta ", b"echo ",
+             b"foxtrot ", b"golf ", b"hotel ", b"india ", b"juliet "]
+    base = b"".join(
+        words[int(i)] for i in rng.integers(0, len(words), 260)
+    )[: cp.block.capacity]  # ~one block of non-self-repeating word salad
+    data = np.frombuffer(base * 4, np.uint8)[: cp.block.capacity * 4 - 61]
+    data = data.copy()
+    sizes = {}
+    for name, c in (("chain", cp), ("chain_match", cp_cm)):
+        buf = io.BytesIO()
+        sizes[name] = encode_stream(data, buf, c, dictionary=False,
+                                    chain=True)
+        buf.seek(0)
+        out = io.BytesIO()
+        decode_stream(buf, out)
+        assert out.getvalue() == data.tobytes(), name
+    assert sizes["chain_match"] < sizes["chain"], sizes
+
+
+def test_chain_match_stored_block_mid_chain():
+    """A stored block must leave the carried window AND bucket table
+    untouched on both sides (the decoder skips stored blocks)."""
+    cp = _cm_params()
+    rng = np.random.default_rng(7)
+    text = b"carry me across the stored block boundary, carefully. " * 30
+    cap = cp.block.capacity
+    data = np.concatenate([
+        np.frombuffer(text, np.uint8)[:cap],
+        rng.integers(0, 256, cap, dtype=np.uint8),  # stored fallback
+        np.frombuffer(text, np.uint8)[:cap],
+    ])
+    buf = io.BytesIO()
+    encode_stream(data, buf, cp, dictionary=False, chain=True)
+    buf.seek(0)
+    out = io.BytesIO()
+    decode_stream(buf, out)
+    assert out.getvalue() == data.tobytes()
+
+
+def test_chain_match_requires_chain_and_mode_r():
+    cp = _cm_params()
+    data = np.zeros(100, np.uint8)
+    with pytest.raises(ValueError, match="chain_match"):
+        encode_stream(data, io.BytesIO(), cp, chain=False)
+    with pytest.raises(ValueError, match="chain_match"):
+        BlockParams(lanes=8, steps=128, mode="X", min_len=6, o3_bits=12,
+                    chain_match=True)
+
+
+def test_chain_match_header_flag_roundtrip():
+    """F_CHAIN_MATCH must reconstruct chain_match at decode (a forgotten
+    header field = silent corruption at non-default geometry)."""
+    from comprox_tpu.codec.container import read_header, write_header
+
+    cp = _cm_params()
+    buf = io.BytesIO()
+    write_header(buf, cp, flags=4 | 8)  # F_CHAIN | F_CHAIN_MATCH
+    buf.seek(0)
+    cp2, flags = read_header(buf)
+    assert cp2.block.chain_match is True
+    assert flags & 8
