@@ -26,7 +26,8 @@ def main() -> None:
     mb = float(sys.argv[1]) if len(sys.argv) > 1 else 100.0
     block_mb = float(os.environ.get("SCALE_BLOCK_MB", "32"))
     group = int(os.environ.get("SCALE_GROUP", "2"))
-    chain = os.environ.get("SCALE_CHAIN", "") == "1"
+    chain = os.environ.get("SCALE_CHAIN", "") in ("1", "2")
+    chain_match = os.environ.get("SCALE_CHAIN", "") == "2"
     if chain:
         group = 1  # chained blocks are sequentially dependent
     lanes = int(os.environ.get("SCALE_LANES", "512"))
@@ -50,6 +51,7 @@ def main() -> None:
         min_len={"R": 5, "X": 6, "F": 6, "P": 4}[mode],
         rolz_ctx_bytes=4 if block_mb >= 4 else 3,
         rolz_dec=2 if mode == "R" else 1,
+        chain_match=chain_match,
     )
     cp = ContainerParams(codec=mode.encode(), block=bp)
 
@@ -91,7 +93,7 @@ def main() -> None:
     peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     print(
         f"scale {mb:g}MiB mode={mode} block={block_mb:g}MiB x{group}"
-        f"{' chained' if chain else ''}: "
+        f"{' chained+match' if chain_match else ' chained' if chain else ''}: "
         f"{'BIT-EXACT' if ok else 'MISMATCH!'} "
         f"{csize} B ({csize * 8 / n:.4f} bpb), "
         f"enc {n / enc_s / 1e6:.2f} MB/s, dec {n / dec_s / 1e6:.2f} MB/s, "
