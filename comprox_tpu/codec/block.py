@@ -2240,6 +2240,11 @@ def encode_block_start(data: np.ndarray, p: BlockParams):
     packs the payload — the container loop dispatches block i+1 BEFORE
     finishing block i, overlapping device compute with the device->host
     result transfer (the axon tunnel moves ~35 MB/s; PERF.md)."""
+    assert not p.chain_match, (
+        "chain_match blocks need carried tables/window: use "
+        "encode_block_chained_* (container chain=True path), not the "
+        "standalone block API"
+    )
     n = int(data.size)
     assert 0 < n <= p.capacity
     buf = np.zeros((p.lanes, p.steps), np.uint8)
@@ -2411,6 +2416,11 @@ def _check_drain(x, base, n_words):
 def decode_block_start(payload: bytes, n: int, p: BlockParams):
     """Dispatch the decode scan (async); pair with decode_block_finish.
     Same pipelining contract as encode_block_start."""
+    assert not p.chain_match, (
+        "chain_match blocks need carried tables/window: use "
+        "decode_block_chained_* (container chained decode path), not the "
+        "standalone block API"
+    )
     n_words, states, stream_padded = _unpack_payload(payload, p)
     x, base, out, _tables = _decode_scan(
         p, jnp.asarray(states), jnp.asarray(stream_padded), jnp.int32(n)

@@ -148,6 +148,12 @@ def read_header(f: BinaryIO) -> tuple[ContainerParams, int]:
             "archive was encoded with different model constants "
             "(CPX_* env knobs); decode in a matching environment"
         )
+    if (flags & F_CHAIN_MATCH) and not (flags & F_CHAIN):
+        # chain_match BlockParams only make sense on the chained decode
+        # path; without this check a crafted/corrupt header with only
+        # bit 8 set would die deep in decode_block_start with a raw
+        # TypeError instead of failing clean here (ADVICE r4).
+        raise ValueError("corrupt archive: F_CHAIN_MATCH without F_CHAIN")
     bp = BlockParams(
         lanes=lanes,
         steps=steps,

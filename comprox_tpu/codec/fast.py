@@ -29,7 +29,8 @@ decode:
      gather (no [S, W] compare), stream reads keep the exact one-hot
      window machinery (ops/rans.py);
   2. an elementwise pass packs each token into one u32
-     (literal byte, or bit31 | dist<<8 | len);
+     (literal byte, or (dist << 8) | (len - min_len) for a match —
+     match codes are >= 256 so the two cases self-disambiguate);
   3. the native sequence executor (csrc/native.c f2_execute) materializes
      output bytes at memcpy speed on the host — the LZ copy chain is the
      one sequential dependency lock-step lanes cannot express without a
