@@ -150,28 +150,61 @@ def build_dictionary(data: np.ndarray, max_words2: Optional[int] = None
             data[i * stride : i * stride + ck].tobytes()
             for i in range(n_chunks)
         ]
-        sample = b"\n".join(parts)
-        scale = n_raw / max(len(sample), 1)
+        sample_b = b"\n".join(parts)
+        sample_arr = np.frombuffer(sample_b, np.uint8)
+        scale = n_raw / max(len(sample_b), 1)
     else:
-        sample = data.tobytes()
+        sample_b = None  # materialized lazily for the Python fallback
+        sample_arr = np.ascontiguousarray(data)
         scale = 1.0
-    if use_cap:
-        # case folding: "The" counts toward "the" (the reference's case-
-        # inversion escape, cr-diccode.c:313-335); coded as CAP + code.
-        # Count raw tokens first (C-speed Counter), then fold the UNIQUE
-        # tokens only and merge — identical counts, ~30x fewer
-        # fold_token calls (dict build was 30% of the 8 MiB encode wall)
-        raw_cnt = Counter(word_re.findall(sample))
-        cnt: Counter = Counter()
-        for w, c in raw_cnt.items():
-            cnt[fold_token(w) or w] += c
+    # the tokenize+count pass is the dict-on encode bottleneck (measured
+    # 3.1 MB/s as regex+Counter at 8 MiB, PERF round 5): run it natively
+    # (csrc/native.c dict_count_c — identical tokenizer to dict_encode_c;
+    # folding at count time equals the Python count-raw-then-fold-unique
+    # merge, and tokens come back in first-occurrence order of the folded
+    # key so the downstream stable savings sorts tie-break identically).
+    # The regex/Counter path stays as the no-toolchain fallback.
+    nc = None
+    try:
+        from comprox_tpu.utils import native as _nat
+
+        nc = _nat.dict_count_c(sample_arr, space, use_cap)
+    except Exception:
+        nc = None
+    if nc is not None:
+        arena, lens, counts = nc
+        if scale != 1.0:
+            # int(c * scale): float64 multiply then truncate toward zero —
+            # exactly the Python fallback's arithmetic
+            counts = np.trunc(counts.astype(np.float64) * scale).astype(
+                np.int64
+            )
+        offs = np.zeros(lens.size + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        ab = arena[: int(offs[-1])].tobytes()
+        keep = np.flatnonzero(counts >= MIN_COUNT)
+        cand = [(ab[offs[k] : offs[k + 1]], int(counts[k])) for k in keep]
     else:
-        cnt = Counter(word_re.findall(sample))
-    if scale != 1.0:
-        cnt = Counter({w: int(c * scale) for w, c in cnt.items()})
-    cand = [(w, c) for w, c in cnt.items() if c >= MIN_COUNT]
+        if sample_b is None:
+            sample_b = sample_arr.tobytes()
+        if use_cap:
+            # case folding: "The" counts toward "the" (the reference's
+            # case-inversion escape, cr-diccode.c:313-335); coded as CAP +
+            # code.  Count raw tokens first (C-speed Counter), then fold
+            # the UNIQUE tokens only and merge — identical counts, ~30x
+            # fewer fold_token calls
+            raw_cnt = Counter(word_re.findall(sample_b))
+            cnt: Counter = Counter()
+            for w, c in raw_cnt.items():
+                cnt[fold_token(w) or w] += c
+        else:
+            cnt = Counter(word_re.findall(sample_b))
+        if scale != 1.0:
+            cnt = Counter({w: int(c * scale) for w, c in cnt.items()})
+        cand = [(w, c) for w, c in cnt.items() if c >= MIN_COUNT]
     if not cand:
         return None
+    cmap = dict(cand)
     # rare leads for 2-byte codes: cheapest nonzero bytes not already free
     order = np.argsort(hist + (hist == 0) * (1 << 30))
     leads = [int(b) for b in order[:N_LEADS]]
@@ -200,8 +233,8 @@ def build_dictionary(data: np.ndarray, max_words2: Optional[int] = None
     n2cap = len(d.two_codes()) if max_words2 is None else max_words2
     d.words2 = [w for w, c in by_savings2[:n2cap]]
     total_savings = (
-        sum(cnt[w] * (len(w) - 1) for w in d.words1)
-        + sum(cnt[w] * (len(w) - 2) for w in d.words2)
+        sum(cmap[w] * (len(w) - 1) for w in d.words1)
+        + sum(cmap[w] * (len(w) - 2) for w in d.words2)
         - lead_cost
     )
     if total_savings < n_raw // 64:  # not worth the stage

@@ -183,6 +183,40 @@ def dict_encode_c(inp, words, woff, codes, coff, space_mode, cap_byte,
     return out[:n].copy()
 
 
+def dict_count_c(sample: np.ndarray, space_mode: bool, fold_mode: bool):
+    """Tokenize + count unique words natively (csrc/native.c dict_count_c).
+    Returns (arena bytes, lens int32[], counts int64[]) in first-occurrence
+    order, or None when the library is unavailable or capacity was hit
+    (caller falls back to the Python regex/Counter pass)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not getattr(lib, "_count_setup", False):
+        lib.dict_count_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.dict_count_c.restype = ctypes.c_int64
+        lib._count_setup = True
+    n = sample.size
+    # tokens are >= 2 bytes, so unique entries <= n/2; bound the entry
+    # arrays at 4M (32 MB counts temp) — a 16 MiB text sample measures
+    # ~200-400k unique tokens, so the cap is generous headroom
+    max_entries = int(min(n // 2 + 1, 4 << 20))
+    arena = np.empty(n, np.uint8)
+    lens = np.empty(max_entries, np.int32)
+    counts = np.empty(max_entries, np.int64)
+    ne = lib.dict_count_c(
+        sample.ctypes.data, n, int(space_mode), int(fold_mode),
+        arena.ctypes.data, arena.size, lens.ctypes.data,
+        counts.ctypes.data, max_entries,
+    )
+    if ne < 0:
+        return None
+    return arena, lens[:ne], counts[:ne]
+
+
 def dict_decode_c(inp, words, woff, one_map, two_map, lead_idx, cap_byte):
     """Raw ctypes shim for csrc/native.c dict_decode_c (size pass + fill
     pass); returns the expanded bytes or None when unavailable."""

@@ -13,6 +13,7 @@
 
 #include <stdint.h>
 #include <stddef.h>
+#include <stdlib.h>
 #include <string.h>
 
 /* x86 E8/E9 rel32 -> abs32 transform over buf[0..len), treating the region
@@ -195,6 +196,91 @@ int64_t dict_decode_c(const uint8_t *inp, int64_t n, const uint8_t *words,
         }
     }
     return o;
+}
+
+/* Count unique tokens for the dictionary-builder pass (the sequential
+ * analogue of cr-dicpick.c:149-216's streamed count; our Python regex +
+ * Counter pass measured 3.1 MB/s and dominated the dict-on encode wall —
+ * PERF.md round 5).  Tokenizer identical to dict_encode_c above
+ * ([A-Za-z]{2,20} plus an optional trailing space when space_mode);
+ * fold_mode folds Capitalized tokens (first-upper + rest-lower) onto
+ * their lowercase form AT COUNT TIME — arithmetic identical to the
+ * Python path's count-raw-then-fold-unique merge, and tokens are
+ * recorded in first-occurrence order of the folded key so downstream
+ * stable sorts tie-break identically.
+ *
+ * Outputs: arena = concatenated unique tokens, lens[i] / counts[i] per
+ * token.  Returns the number of unique tokens, or -1 when a capacity or
+ * allocation limit is hit (caller falls back to the Python pass). */
+int64_t dict_count_c(const uint8_t *inp, int64_t n, int32_t space_mode,
+                     int32_t fold_mode, uint8_t *arena, int64_t arena_cap,
+                     int32_t *lens, int64_t *counts, int64_t max_entries) {
+    int64_t nslots = 1;
+    while (nslots < 2 * max_entries) nslots <<= 1;
+    int64_t *slots = (int64_t *)malloc((size_t)nslots * sizeof(int64_t));
+    int64_t *offs = (int64_t *)malloc((size_t)(max_entries + 1) *
+                                      sizeof(int64_t));
+    if (!slots || !offs) {
+        free(slots);
+        free(offs);
+        return -1;
+    }
+    memset(slots, 0, (size_t)nslots * sizeof(int64_t));
+    int64_t ne = 0, ao = 0, i = 0;
+    offs[0] = 0;
+    uint8_t tokbuf[21];
+    while (i < n) {
+        uint8_t c = inp[i];
+        if (DICT_ALPHA(c) && i + 1 < n && DICT_ALPHA(inp[i + 1])) {
+            int64_t tlen = 2;
+            while (tlen < 20 && i + tlen < n && DICT_ALPHA(inp[i + tlen]))
+                tlen++;
+            if (space_mode && i + tlen < n && inp[i + tlen] == ' ') tlen++;
+            const uint8_t *tok = inp + i;
+            if (fold_mode && c >= 'A' && c <= 'Z') {
+                int64_t rl = tlen;
+                if (tok[rl - 1] == ' ') rl--;
+                int ok = 1;
+                for (int64_t k = 1; k < rl; k++)
+                    if (!(tok[k] >= 'a' && tok[k] <= 'z')) ok = 0;
+                if (ok) {
+                    memcpy(tokbuf, tok, (size_t)tlen);
+                    tokbuf[0] += 32;
+                    tok = tokbuf;
+                }
+            }
+            uint64_t h = dict_hash(tok, tlen) & (uint64_t)(nslots - 1);
+            for (;;) {
+                if (!slots[h]) {
+                    if (ne >= max_entries || ao + tlen > arena_cap) {
+                        free(slots);
+                        free(offs);
+                        return -1;
+                    }
+                    memcpy(arena + ao, tok, (size_t)tlen);
+                    lens[ne] = (int32_t)tlen;
+                    counts[ne] = 1;
+                    ao += tlen;
+                    offs[ne + 1] = ao;
+                    slots[h] = ++ne;
+                    break;
+                }
+                int64_t e = slots[h] - 1;
+                if (offs[e + 1] - offs[e] == tlen &&
+                    memcmp(arena + offs[e], tok, (size_t)tlen) == 0) {
+                    counts[e]++;
+                    break;
+                }
+                h = (h + 1) & (uint64_t)(nslots - 1);
+            }
+            i += tlen;
+        } else {
+            i++;
+        }
+    }
+    free(slots);
+    free(offs);
+    return ne;
 }
 
 /* ---------------------------------------------------------------------- */
