@@ -1807,7 +1807,10 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
         o3_raw=o3raw, pred2=pred2, conf2=conf2,
     )
     if sse_st is not None:
-        tbs = ppm.sse_update(tbs, sse_st, coding, is_match)
+        tbs = ppm.sse_update(
+            tbs, sse_st, coding, is_match,
+            is_hit=coding & (sym_a == ppm.SYM_HIT),
+        )
     extra = []
     if p.mode == "X":
         # D/E events read the step-start mant table (apply_updates never
@@ -2149,7 +2152,7 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     if mant_upd is not None:
         tbs = _mant_update(tbs, *mant_upd)
     if sse_st is not None:
-        tbs = ppm.sse_update(tbs, sse_st, coding, is_match)
+        tbs = ppm.sse_update(tbs, sse_st, coding, is_match, is_hit=is_hit)
     c = dict(c)
     c["tables"] = tbs
     c = _post_step(

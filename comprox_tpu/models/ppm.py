@@ -114,6 +114,8 @@ def init_tables(match_enabled: bool, o3_bits: int = 22) -> dict:
         "mant": jnp.ones((16, 16), _i32),
         # SSE/APM on the A event's match mass (mode 'R'; see init_sse)
         "sse": init_sse(),
+        # hit-flag APM (rev 7, SSE_HIT; see init_sse_hit)
+        "sse_h": init_sse_hit(),
     }
 
 
@@ -155,9 +157,10 @@ CONF_BOOST = _env("CONF_BOOST", 0)
 # writes; rev 3 = 2-way o3 entries + SYM_HIT2; rev 4 = adaptive distance-
 # mantissa top bits in mode 'X'; rev 5 = lzp_hash8 distinct per-half
 # multipliers, mode 'P'; rev 6 = SSE/APM reshape of the A event's match
-# mass, mode 'R').  Rides format_fingerprint so old archives fail
+# mass, mode 'R'; rev 7 = hit-flag APM + fill x conf match-APM contexts,
+# mode 'R').  Rides format_fingerprint so old archives fail
 # cleanly.
-FORMAT_REV = 6
+FORMAT_REV = 7
 
 
 def format_fingerprint() -> int:
@@ -173,7 +176,7 @@ def format_fingerprint() -> int:
         DST_INC, DST_CAP, DST_W, MANT_INC, MANT_CAP, N_SHARED_CTX,
         IDX_W, LEN_W, O2_W, CONF_BOOST, FORMAT_REV,
         O2_MAXCAP, O2_EE, O3_GROUPS, O3_GROUPUPD, O3_2WAY,
-        SSE, SSE_NCTX, SSE_RATE_SH,
+        SSE, SSE_NCTX, SSE_RATE_SH, SSE_MCTX, SSE_HIT, SSE_HCTX,
     )
     return zlib.crc32(repr(knobs).encode()) & 0xFFFFFFFF
 
@@ -301,7 +304,7 @@ def read_o2(
         rowmod = jnp.where(slot_ids == SYM_HIT, rowmod, boosted)
     sse_state = None
     if sse_fill is not None and SSE:
-        rowmod, sse_state = _sse_reshape(t, rowmod, sse_fill)
+        rowmod, sse_state = _sse_reshape(t, rowmod, sse_fill, conf)
     cums = tb.exclusive_cumsum(rowmod)
     return t, rows, rowmod, cums, tb.row_total(rowmod), halve_delta, sse_state
 
@@ -417,7 +420,20 @@ def _read_shared_ctx(t, mask, key, cap, ctx, n_ctx=N_SHARED_CTX):
 # model).  No reference analogue: richox/comprox has no SSE stage.
 # --------------------------------------------------------------------------
 SSE = _env("SSE", 1)  # 0 disables (format-relevant, fingerprinted)
-SSE_NCTX = 5
+# round-5 extensions (rev 7), both fingerprinted:
+#   SSE_MCTX=1 keys the match-flag APM on fill-class x o3-confidence
+#   (20 rows) instead of fill-class alone (5) — the r4 probe's
+#   "fillq_x_conf" context;
+#   SSE_HIT=1 adds a second APM on the HIT flag (byte == o3 pred), keyed
+#   on conf-class x match-availability (6 rows) — both decoder-known
+#   before the A symbol (conf from the o3 read, avail from the bucket
+#   replay).  Events with conf == 0 keep the primary estimate (no
+#   reshape, no update): an untrained predictor's hit rate is not a
+#   stable statistic.
+SSE_MCTX = _env("SSE_MCTX", 1)
+SSE_HIT = _env("SSE_HIT", 1)
+SSE_NCTX = 20 if SSE_MCTX else 5
+SSE_HCTX = 6
 SSE_RATE_SH = 5  # update rate 2^-5 per event
 # probability clamp (16-bit fixed point).  LO must reach the stretch
 # scale's bottom bin: the match-flag win comes from driving p(match)
@@ -446,79 +462,139 @@ def init_sse():
     ).astype(_i32)
 
 
-def sse_ctx_of(fill):
-    """APM context from the ROLZ bucket fill count (both sides replay
-    the same bucket state, so this is decoder-known before the A event)."""
-    return jnp.where(
-        fill > 0, 1 + jnp.clip((fill - 1) // 16, 0, 3), 0
+def init_sse_hit():
+    """Identity-initialized hit-flag APM table, flat [SSE_HCTX * 33]."""
+    return jnp.tile(
+        jnp.clip(_SSE_THR_J, SSE_LO, SSE_HI), (SSE_HCTX,)
     ).astype(_i32)
 
 
-def _sse_reshape(t, rowmod, fill):
-    """Rescale rowmod's SYM_MATCH slot to the APM's secondary estimate.
+def sse_ctx_of(fill, conf=None):
+    """Match-flag APM context: ROLZ bucket fill class (0 = empty,
+    1..4 = fill quartiles), optionally crossed with the o3 confidence
+    class (SSE_MCTX).  Both inputs are decoder-known before the A event
+    (the decoder replays bucket state; conf comes from the o3 read)."""
+    fillc = jnp.where(
+        fill > 0, 1 + jnp.clip((fill - 1) // 16, 0, 3), 0
+    ).astype(_i32)
+    if SSE_MCTX and conf is not None:
+        return fillc * 4 + jnp.clip(conf, 0, 3)
+    return fillc
 
-    Returns (rowmod', state) where state = (flat bin, interp weight,
-    bin values) feeds sse_update after the A symbol is known.  All
-    intermediates fit int32: probabilities are 12-bit for the mass
-    solve (p * rest <= 4095 * 2^15 < 2^27) and 16-bit in the table.
-    """
-    sse = t["sse"]
-    k = SSE_NCTX * 33
-    slot_ids = jax.lax.broadcasted_iota(_i32, rowmod.shape, 1)
-    f_m = jnp.sum(jnp.where(slot_ids == SYM_MATCH, rowmod, 0), axis=1)
-    f_h = jnp.sum(jnp.where(slot_ids == SYM_HIT, rowmod, 0), axis=1)
-    f_h2 = jnp.sum(jnp.where(slot_ids == SYM_HIT2, rowmod, 0), axis=1)
-    tot0 = tb.row_total(rowmod)
-    rest = jnp.maximum(tot0 - f_h - f_h2, 1)
-    p16 = jnp.clip(f_m * 4096 // rest, 1, 4095) << 4
 
-    # stretch-scale quantize: bin i, weight w in [0, 64]
+def sse_hit_ctx_of(conf, fill):
+    """Hit-flag APM context: conf class (1..3 clipped, -1) x bucket
+    availability.  Only meaningful where conf > 0."""
+    return (jnp.clip(conf, 1, 3) - 1) * 2 + (fill > 0).astype(_i32)
+
+
+def _apm_read(sse_flat, n_ctx, ctx, p16):
+    """Shared APM machinery: stretch-quantize p16 to (bin i, weight w),
+    read the 2 interpolation points from the flat [n_ctx * 33] table with
+    masked reductions (per-lane gathers serialize on TPU; PERF.md), and
+    return (p_sse16, flat_index, w, t_i, t_ip1) for the paired update."""
+    k = n_ctx * 33
+    s_lanes = p16.shape[0]
     i = jnp.sum(
         (p16[:, None] >= _SSE_THR_J[None, 1:32]).astype(_i32), axis=1
     )
-    # per-lane gathers serialize on TPU (PERF.md): select the threshold/
-    # span with masked reductions instead
-    iota33 = jax.lax.broadcasted_iota(_i32, (rowmod.shape[0], 32), 1)
+    iota33 = jax.lax.broadcasted_iota(_i32, (s_lanes, 32), 1)
     sel_i = iota33 == i[:, None]
     thr_i = jnp.sum(jnp.where(sel_i, _SSE_THR_J[None, :32], 0), axis=1)
     span_i = jnp.maximum(
         jnp.sum(jnp.where(sel_i, _SSE_SPAN_J[None, :], 0), axis=1), 1
     )
     w = jnp.clip((p16 - thr_i) * 64 // span_i, 0, 64)
-
-    flat = sse_ctx_of(fill) * 33 + i
-    iota = jax.lax.broadcasted_iota(_i32, (rowmod.shape[0], k), 1)
-    t_i = jnp.sum(jnp.where(iota == flat[:, None], sse[None, :], 0), axis=1)
+    flat = ctx * 33 + i
+    iota = jax.lax.broadcasted_iota(_i32, (s_lanes, k), 1)
+    t_i = jnp.sum(
+        jnp.where(iota == flat[:, None], sse_flat[None, :], 0), axis=1
+    )
     t_ip1 = jnp.sum(
-        jnp.where(iota == (flat + 1)[:, None], sse[None, :], 0), axis=1
+        jnp.where(iota == (flat + 1)[:, None], sse_flat[None, :], 0), axis=1
     )
     p_sse = ((64 - w) * t_i + w * t_ip1) >> 6
+    return p_sse, flat, w, t_i, t_ip1
+
+
+def _apm_delta(n_ctx, flat, w, t_i, t_ip1, outcome, active):
+    """Summed-at-step-start APM table delta toward ``outcome`` (bool),
+    masked by ``active`` — deterministic on both sides like every other
+    table update here."""
+    k = n_ctx * 33
+    h = outcome.astype(_i32) << 16
+    d_i = ((64 - w) * (h - t_i)) >> (6 + SSE_RATE_SH)
+    d_ip1 = (w * (h - t_ip1)) >> (6 + SSE_RATE_SH)
+    iota = jax.lax.broadcasted_iota(_i32, (flat.shape[0], k), 1)
+    am = active[:, None]
+    return jnp.sum(
+        jnp.where((iota == flat[:, None]) & am, d_i[:, None], 0), axis=0
+    ) + jnp.sum(
+        jnp.where((iota == (flat + 1)[:, None]) & am, d_ip1[:, None], 0),
+        axis=0,
+    )
+
+
+def _sse_reshape(t, rowmod, fill, conf=None):
+    """Rescale rowmod's HIT slot (SSE_HIT) and SYM_MATCH slot to the
+    APMs' secondary estimates.
+
+    Returns (rowmod', state); ``state`` feeds sse_update after the A
+    symbol is known.  The hit reshape runs FIRST, so the match solve's
+    rest mass sees the reshaped hit frequency (both sides identical).
+    All intermediates fit int32: probabilities are 12-bit for the mass
+    solve (p * rest <= 4095 * 2^15 < 2^27) and 16-bit in the table.
+    """
+    slot_ids = jax.lax.broadcasted_iota(_i32, rowmod.shape, 1)
+
+    hit_state = None
+    if SSE_HIT and conf is not None:
+        f_h0 = jnp.sum(jnp.where(slot_ids == SYM_HIT, rowmod, 0), axis=1)
+        tot_h = jnp.maximum(tb.row_total(rowmod), 1)
+        p16h = jnp.clip(f_h0 * 4096 // tot_h, 1, 4095) << 4
+        ph, flat_h, w_h, ti_h, tip1_h = _apm_read(
+            t["sse_h"], SSE_HCTX, sse_hit_ctx_of(conf, fill), p16h
+        )
+        ph12 = jnp.clip(ph >> 4, 1, 4095)
+        f_h_new = ph12 * (tot_h - f_h0) // (4096 - ph12)
+        f_h_new = jnp.clip(
+            f_h_new, 1, f_h0 + jnp.maximum((1 << 15) - tot_h, 0)
+        )
+        act_h = conf > 0
+        f_h_new = jnp.where(act_h, f_h_new, f_h0)
+        rowmod = jnp.where(slot_ids == SYM_HIT, f_h_new[:, None], rowmod)
+        hit_state = (flat_h, w_h, ti_h, tip1_h, act_h)
+
+    f_m = jnp.sum(jnp.where(slot_ids == SYM_MATCH, rowmod, 0), axis=1)
+    f_h = jnp.sum(jnp.where(slot_ids == SYM_HIT, rowmod, 0), axis=1)
+    f_h2 = jnp.sum(jnp.where(slot_ids == SYM_HIT2, rowmod, 0), axis=1)
+    tot0 = tb.row_total(rowmod)
+    rest = jnp.maximum(tot0 - f_h - f_h2, 1)
+    p16 = jnp.clip(f_m * 4096 // rest, 1, 4095) << 4
+    p_sse, flat, w, t_i, t_ip1 = _apm_read(
+        t["sse"], SSE_NCTX, sse_ctx_of(fill, conf), p16
+    )
     ps12 = jnp.clip(p_sse >> 4, 1, 4095)
     f_new = ps12 * (rest - f_m) // (4096 - ps12)
     f_new = jnp.clip(f_new, 1, f_m + jnp.maximum((1 << 15) - tot0, 0))
     rowmod = jnp.where(slot_ids == SYM_MATCH, f_new[:, None], rowmod)
-    return rowmod, (flat, w, t_i, t_ip1)
+    return rowmod, (flat, w, t_i, t_ip1, hit_state)
 
 
-def sse_update(t, state, coding, is_match):
-    """APM update toward the observed match flag (batched: colliding
-    lanes sum their deltas at the step-start value, deterministically on
-    both sides, like every other table here)."""
-    flat, w, t_i, t_ip1 = state
-    k = SSE_NCTX * 33
-    h_m = (is_match.astype(_i32) << 16)
-    d_i = ((64 - w) * (h_m - t_i)) >> (6 + SSE_RATE_SH)
-    d_ip1 = (w * (h_m - t_ip1)) >> (6 + SSE_RATE_SH)
-    iota = jax.lax.broadcasted_iota(_i32, (flat.shape[0], k), 1)
-    cm = coding[:, None]
-    delta = jnp.sum(
-        jnp.where((iota == flat[:, None]) & cm, d_i[:, None], 0), axis=0
-    ) + jnp.sum(
-        jnp.where((iota == (flat + 1)[:, None]) & cm, d_ip1[:, None], 0),
-        axis=0,
-    )
+def sse_update(t, state, coding, is_match, is_hit=None):
+    """APM updates toward the observed flags (batched: colliding lanes
+    sum their deltas at the step-start value, deterministically on both
+    sides, like every other table here)."""
+    flat, w, t_i, t_ip1, hit_state = state
     t = dict(t)
+    delta = _apm_delta(SSE_NCTX, flat, w, t_i, t_ip1, is_match, coding)
     t["sse"] = jnp.clip(t["sse"] + delta, SSE_LO, SSE_HI)
+    if hit_state is not None and is_hit is not None:
+        flat_h, w_h, ti_h, tip1_h, act_h = hit_state
+        delta_h = _apm_delta(
+            SSE_HCTX, flat_h, w_h, ti_h, tip1_h, is_hit, coding & act_h
+        )
+        t["sse_h"] = jnp.clip(t["sse_h"] + delta_h, SSE_LO, SSE_HI)
     return t
 
 
