@@ -25,6 +25,13 @@ from comprox_tpu.ops.rans_scalar import M, M_BITS, MASK16, MASK_M, RANS_L
 
 _U32 = jnp.uint32
 
+# Decode-side stream-read strategy (onehot | sort | gather).  Pure
+# performance knob: all three produce identical words from the identical
+# stream layout, so it is NOT format-relevant (not fingerprinted).
+import os as _os
+
+STREAM_READ = _os.environ.get("CPX_STREAM_READ", "onehot")
+
 
 def identity_cf(shape):
     """The no-op coding event for masked lanes."""
@@ -101,9 +108,21 @@ def stream_window_read(win, need, off):
     Every word consumed in one decode step is CONTIGUOUS in the stream
     (events are ordered (step, slot, lane)), so the caller slices a window
     once per step with a scalar-start ``dynamic_slice`` and each slot's
-    per-lane reads resolve with an exact one-hot matmul — replacing the
-    per-lane serialized gathers (~0.28us/index on TPU, PERF.md) that
-    previously dominated decode.  Returns (words, new_off).
+    per-lane reads resolve without per-lane serialized gathers
+    (~0.28us/index on TPU, PERF.md).  Three bit-identical strategies,
+    selected by ``CPX_STREAM_READ`` (same stream format either way; the
+    lane-sweep in PERF.md picks the default):
+
+    - ``onehot``: exact one-hot f32 matvec, [S, S] work per call —
+      quadratic in lanes, the measured S=512 winner of round 3.
+    - ``sort``: two stable [S] key/value sorts (rank -> lane, then lane
+      -> word), O(S log^2 S) — built for the S >= 1024 regime where the
+      one-hot's [S, S] term dominates the decode step.
+    - ``gather``: plain XLA gather at monotone indices — the gather
+      engine's fixed dispatch dominates below ~2048 lanes but its
+      marginal cost is flat in S.
+
+    Returns (words, new_off).
     """
     import jax as _jax
 
@@ -115,17 +134,37 @@ def stream_window_read(win, need, off):
         acc = acc + jnp.pad(acc, (k, 0))[:s]
         k *= 2
     idx = (off + acc - inc).astype(jnp.int32)
-    oh = (
-        _jax.lax.broadcasted_iota(jnp.int32, (s, win.shape[0]), 1)
-        == idx[:, None]
-    ) & need[:, None]
-    # 0/1 matrix x u16 values: exact at Precision.HIGHEST (int < 2^24)
-    w = jnp.dot(
-        oh.astype(jnp.float32),
-        win.astype(jnp.float32),
-        precision=_jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ).astype(_U32)
+    if STREAM_READ == "sort":
+        lane = _jax.lax.broadcasted_iota(jnp.int32, (s,), 0)
+        rk = (acc - inc).astype(jnp.int32)  # 0..m-1 on needing lanes
+        rank = jnp.where(need, rk, jnp.int32(s) + lane)
+        # sort by rank (keys unique, no stability needed): position
+        # j < m holds the lane whose word is win[off + j]
+        _, lane_by_rank = _jax.lax.sort((rank, lane), num_keys=1)
+        w_by_rank = _jax.lax.dynamic_slice(
+            win, (off.astype(jnp.int32),), (s,)
+        )
+        _, w = _jax.lax.sort(
+            (lane_by_rank, w_by_rank.astype(jnp.int32)), num_keys=1
+        )
+        w = jnp.where(need, w, 0).astype(_U32)
+    elif STREAM_READ == "gather":
+        # idx is nondecreasing across ALL lanes (excl increments only on
+        # need) and < win size even on trailing non-needing lanes
+        w = jnp.take(win, idx, indices_are_sorted=True).astype(_U32)
+        w = jnp.where(need, w, 0)
+    else:
+        oh = (
+            _jax.lax.broadcasted_iota(jnp.int32, (s, win.shape[0]), 1)
+            == idx[:, None]
+        ) & need[:, None]
+        # 0/1 matrix x u16 values: exact at Precision.HIGHEST (int < 2^24)
+        w = jnp.dot(
+            oh.astype(jnp.float32),
+            win.astype(jnp.float32),
+            precision=_jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(_U32)
     return w.astype(jnp.uint16), off + acc[-1]
 
 
