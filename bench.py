@@ -352,11 +352,37 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         sys.stderr.write(f"bench: crf extra run failed: {e!r}\n")
 
+    # flagship ratio witness (round-5 verdict #8): single-block crz on the
+    # first 8 MiB of the same corpus (= build_corpus(8 MiB) exactly —
+    # build_corpus is prefix-consistent), vs the reference binaries run on
+    # those IDENTICAL bytes (BASELINE.md flagship-corpus table, md5
+    # d0246b7b).  Metric text only; headline value stays r03-comparable.
+    r_txt = ""
+    try:
+        if corpus_mb >= 8 and block_mb == 8 and lanes == 512:
+            from comprox_tpu.cli.main import make_params
+
+            rp = make_params("crz", {"lanes": lanes, "block_mb": 8})
+            flag = data[: 8 << 20]
+            buf = io.BytesIO()
+            rsize = container.encode_stream(flag, buf, rp, group=1)
+            buf.seek(0)
+            out = io.BytesIO()
+            container.decode_stream(buf, out, group=1)
+            if out.getvalue() == flag.tobytes():
+                r_txt = (
+                    f"; flagship crz 8MiB single block: {rsize * 8 / flag.size:.4f}"
+                    " bpb vs ref-on-identical-bytes comprox 0.4109 /"
+                    " comprolz 0.3947 / comprop 0.4097"
+                )
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"bench: flagship ratio extra run failed: {e!r}\n")
+
     emit(
         f"single-chip encode throughput, {corpus_mb:g}MiB doc-text corpus,"
         f" {plat}, block={block_mb:g}MiB x{group}-batched, round-trip"
         f" verified (decode {dec_mbps:.2f} MB/s, ratio"
-        f" {csize / data.size:.4f}, {bpb:.3f} bpb{vs_r03}{f_txt})",
+        f" {csize / data.size:.4f}, {bpb:.3f} bpb{vs_r03}{f_txt}{r_txt})",
         enc_mbps,
         degraded,
     )
