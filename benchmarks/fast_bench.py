@@ -9,8 +9,11 @@ Usage: python benchmarks/fast_bench.py [MB] [LANES]
 from __future__ import annotations
 
 import io
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

@@ -8,10 +8,13 @@ shows per-row random-access cost dropping 4-8x from S=512 to S=2048.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

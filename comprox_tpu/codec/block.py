@@ -1664,6 +1664,16 @@ def _search_and_parse(p: BlockParams, inp_pad, inp_flat, inp_w32, n,
 # --------------------------------------------------------------------------
 
 
+def _sse_hitx_of(p: BlockParams, conf, p1, lzp_ok=None):
+    """Rev-8 hit-only SSE wiring shared by both sides: (table key,
+    n_ctx, context indices) for modes X and P, else None."""
+    if p.mode == "X" and ppm.SSE_X:
+        return ("sse_x", ppm.SSE_XCTX, ppm.sse_x_ctx_of(conf, p1))
+    if p.mode == "P" and ppm.SSE_P and lzp_ok is not None:
+        return ("sse_p", ppm.SSE_PCTX, ppm.sse_p_ctx_of(conf, lzp_ok, p1))
+    return None
+
+
 def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
     if p.match and p.mode == "R":
         t, dec_take, dec_src, dec_idx, dec_fill = xs
@@ -1707,6 +1717,7 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
         # column write, so the source must satisfy src % T < t (also rejects
         # self-matches); byte src+k is then decoded strictly before t+k.
         src, ok = _lzp_candidate(c, t, p, inp_flat)
+        lzp_ok = ok  # decoder-known availability (SSE probe capture)
         valid = coding & ok
         length = _match_window_len(inp_w32, pos, src, t, n, p, cur_win)
         do_match = valid & (length >= p.min_len)
@@ -1715,14 +1726,17 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
         length = jnp.zeros((p.lanes,), _i32)
         do_match = jnp.zeros((p.lanes,), bool)
 
-    # ---- A event (SSE: the match-mass reshape keys on the bucket fill,
-    # which the search pass computed identically to the decoder's replay)
+    # ---- A event (SSE: mode R's match-mass reshape keys on the bucket
+    # fill, which the search pass computed identically to the decoder's
+    # replay; the rev-8 hit-only reshapes key on conf x p1 (X) and
+    # conf x candidate-availability x p1 (P), all decoder-known)
     sse_fill = (
         rolz_fill if (p.mode == "R" and p.match and ppm.SSE) else None
     )
+    sse_hitx = _sse_hitx_of(p, conf, p1, lzp_ok if p.mode == "P" and p.match else None)
     tbs, rows2, rowmod, cums_a, tot_a, o2_hd, sse_st = ppm.read_o2(
         c["tables"], ctx2, pred, coding, conf, pred2, valid2,
-        sse_fill=sse_fill,
+        sse_fill=sse_fill, sse_hitx=sse_hitx,
     )
     f_byte = jnp.sum(
         jnp.where(
@@ -1807,10 +1821,16 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
         o3_raw=o3raw, pred2=pred2, conf2=conf2,
     )
     if sse_st is not None:
-        tbs = ppm.sse_update(
-            tbs, sse_st, coding, is_match,
-            is_hit=coding & (sym_a == ppm.SYM_HIT),
-        )
+        if sse_hitx is not None:
+            tbs = ppm.sse_update_hit(
+                tbs, sse_hitx[0], sse_hitx[1], sse_st, coding,
+                coding & (sym_a == ppm.SYM_HIT),
+            )
+        else:
+            tbs = ppm.sse_update(
+                tbs, sse_st, coding, is_match,
+                is_hit=coding & (sym_a == ppm.SYM_HIT),
+            )
     extra = []
     if p.mode == "X":
         # D/E events read the step-start mant table (apply_updates never
@@ -1844,9 +1864,14 @@ def _encode_model_body(p: BlockParams, inp_pad, inp_flat, inp_w32, n, c, xs):
         # ratio-probe capture (CPX_DEBUG_EVT=1): per-step side-event
         # symbols + candidate contexts, consumed by offline numpy model
         # simulations (benchmarks/ctx_probe.py) — never by the format
+        ctx_dbg = dist if p.mode == "X" else rolz_fill
+        if p.mode == "P" and p.match:
+            # LZP candidate availability — decoder-known (the decoder
+            # computes the same _lzp_candidate gather), so a legal SSE key
+            ctx_dbg = lzp_ok.astype(_i32)
         out += [
             (sym_dst if p.mode == "X" else sym_idx).astype(jnp.int16),
-            (dist if p.mode == "X" else rolz_fill),
+            ctx_dbg,
             p1.astype(jnp.int16),
         ]
         # A-distribution internals for the SSE probe
@@ -1982,13 +2007,22 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     # later serves the B event's idx context + source lookup).
     rolz_rows = None
     fill = None
+    lzp_src = None
+    lzp_ok = None
     if p.mode == "R" and p.match:
         rctx_r = _rolz_ctx(c, p)
         rolz_rows = c["rolz_ent"][rctx_r]
         fill = jnp.sum((rolz_rows[..., 0] > 0).astype(_i32), axis=1)
+    elif p.mode == "P" and p.match:
+        # hoisted from the byte-resolve below (bit-identical: the gather
+        # reads only strictly-earlier bytes and tables update in
+        # _post_step) — the rev-8 hit APM keys on the candidate
+        # availability, which must be known BEFORE the A decode
+        lzp_src, lzp_ok = _lzp_candidate(c, t, p, out_flat)
     tbs, rows2, rowmod, cums_a, tot_a, o2_hd, sse_st = ppm.read_o2(
         c["tables"], ctx2, pred, coding, conf, pred2, valid2,
         sse_fill=fill if ppm.SSE else None,
+        sse_hitx=_sse_hitx_of(p, conf, p1, lzp_ok),
     )
     slot = rans.dec_slot(x)
     tgt = rans.dec_target(slot, jnp.maximum(tot_a, 1))
@@ -2127,6 +2161,8 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
             src = jnp.where(sym_idx >= p.rolz_depth, src_short, src)
     elif p.mode == "X":
         src = pos - dist
+    elif lzp_src is not None:
+        src = lzp_src  # hoisted before the A event (rev-8 SSE context)
     else:
         src, _ok = _lzp_candidate(c, t, p, out_flat)
     gsrc = jnp.clip(
@@ -2152,7 +2188,15 @@ def _decode_body(p: BlockParams, stream, n, carry, t):
     if mant_upd is not None:
         tbs = _mant_update(tbs, *mant_upd)
     if sse_st is not None:
-        tbs = ppm.sse_update(tbs, sse_st, coding, is_match, is_hit=is_hit)
+        if p.mode in ("X", "P"):
+            hx = _sse_hitx_of(p, conf, p1, lzp_ok)
+            tbs = ppm.sse_update_hit(
+                tbs, hx[0], hx[1], sse_st, coding, is_hit
+            )
+        else:
+            tbs = ppm.sse_update(
+                tbs, sse_st, coding, is_match, is_hit=is_hit
+            )
     c = dict(c)
     c["tables"] = tbs
     c = _post_step(

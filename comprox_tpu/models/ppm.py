@@ -116,6 +116,10 @@ def init_tables(match_enabled: bool, o3_bits: int = 22) -> dict:
         "sse": init_sse(),
         # hit-flag APM (rev 7, SSE_HIT; see init_sse_hit)
         "sse_h": init_sse_hit(),
+        # mode-X hit-flag APM (rev 8, SSE_X; see init_sse_x)
+        "sse_x": init_sse_x(),
+        # mode-P hit-flag APM (rev 8, SSE_P; see init_sse_p)
+        "sse_p": init_sse_p(),
     }
 
 
@@ -158,9 +162,10 @@ CONF_BOOST = _env("CONF_BOOST", 0)
 # mantissa top bits in mode 'X'; rev 5 = lzp_hash8 distinct per-half
 # multipliers, mode 'P'; rev 6 = SSE/APM reshape of the A event's match
 # mass, mode 'R'; rev 7 = hit-flag APM + fill x conf match-APM contexts,
-# mode 'R').  Rides format_fingerprint so old archives fail
-# cleanly.
-FORMAT_REV = 7
+# mode 'R'; rev 8 = hit-flag APMs for modes 'X' (conf x p1 class) and
+# 'P' (conf x LZP availability x p1 class)).
+# Rides format_fingerprint so old archives fail cleanly.
+FORMAT_REV = 8
 
 
 def format_fingerprint() -> int:
@@ -177,6 +182,7 @@ def format_fingerprint() -> int:
         IDX_W, LEN_W, O2_W, CONF_BOOST, FORMAT_REV,
         O2_MAXCAP, O2_EE, O3_GROUPS, O3_GROUPUPD, O3_2WAY,
         SSE, SSE_NCTX, SSE_RATE_SH, SSE_MCTX, SSE_HIT, SSE_HCTX,
+        SSE_X, SSE_XCTX, SSE_P, SSE_PCTX,
     )
     return zlib.crc32(repr(knobs).encode()) & 0xFFFFFFFF
 
@@ -247,13 +253,15 @@ def _o2_rescale(rows0):
 
 def read_o2(
     t, ctx2, pred, coding, conf=None, pred2=None, valid2=None,
-    sse_fill=None,
+    sse_fill=None, sse_hitx=None,
 ):
     """Gather + rescale + exclude-predicted for the A event.
 
     Returns (tables, rows, rowmod, cums, tot, halve_delta, sse_state).
     ``sse_state`` is None unless ``sse_fill`` is given (mode 'R' with the
-    SSE stage on); it feeds sse_update after the A symbol is known.
+    SSE stage on — feeds sse_update) or ``sse_hitx`` = (table key,
+    n_ctx, context indices) is given (rev 8, modes 'X'/'P': hit-flag-
+    only APM — feeds sse_update_hit).  Mutually exclusive by caller.
 
     ``rowmod`` has
     the predicted byte's slot zeroed; escape slot is clamped >= 1
@@ -305,6 +313,11 @@ def read_o2(
     sse_state = None
     if sse_fill is not None and SSE:
         rowmod, sse_state = _sse_reshape(t, rowmod, sse_fill, conf)
+    elif sse_hitx is not None:
+        key, n_ctx, hctx = sse_hitx
+        rowmod, sse_state = sse_reshape_hit(
+            t, key, n_ctx, hctx, rowmod, conf
+        )
     cums = tb.exclusive_cumsum(rowmod)
     return t, rows, rowmod, cums, tb.row_total(rowmod), halve_delta, sse_state
 
@@ -434,6 +447,24 @@ SSE_MCTX = _env("SSE_MCTX", 1)
 SSE_HIT = _env("SSE_HIT", 1)
 SSE_NCTX = 20 if SSE_MCTX else 5
 SSE_HCTX = 6
+# rev 8: hit-flag APM for mode X, keyed conf-class x p1-class (48 rows).
+# X's decoder cannot replay a bucket fill (distances explicit, bucket
+# table encoder-private) — but conf and the order-1 context byte are
+# decoder-known before the A symbol.  The exact-cost probe
+# (benchmarks/sse_x_probe.py) ranked conf x p1//16 best (-1.12% of A
+# bits); the probe also CLOSED the match-flag APM for X: every context
+# measured POSITIVE (matches are 4% of X events — adaptation noise
+# exceeds the reclaimable reserved mass), so X gets the hit stage only.
+SSE_X = _env("SSE_X", 1)
+SSE_XCTX = 48
+# rev 8 also gives mode P a hit-flag APM: conf x LZP-candidate
+# availability x p1 class (24 rows).  The LZP candidate is decoder-known
+# before the A symbol (both sides run the same _lzp_candidate gather on
+# strictly-earlier bytes).  Probe: -0.90% of total model bits; the
+# match-flag APM measured POSITIVE for P in every context (closed,
+# like X — unlike R, whose bucket-fill context carries real signal).
+SSE_P = _env("SSE_P", 1)
+SSE_PCTX = 24
 SSE_RATE_SH = 5  # update rate 2^-5 per event
 # probability clamp (16-bit fixed point).  LO must reach the stretch
 # scale's bottom bin: the match-flag win comes from driving p(match)
@@ -469,6 +500,20 @@ def init_sse_hit():
     ).astype(_i32)
 
 
+def init_sse_x():
+    """Identity-initialized mode-X hit-flag APM table, [SSE_XCTX * 33]."""
+    return jnp.tile(
+        jnp.clip(_SSE_THR_J, SSE_LO, SSE_HI), (SSE_XCTX,)
+    ).astype(_i32)
+
+
+def init_sse_p():
+    """Identity-initialized mode-P hit-flag APM table, [SSE_PCTX * 33]."""
+    return jnp.tile(
+        jnp.clip(_SSE_THR_J, SSE_LO, SSE_HI), (SSE_PCTX,)
+    ).astype(_i32)
+
+
 def sse_ctx_of(fill, conf=None):
     """Match-flag APM context: ROLZ bucket fill class (0 = empty,
     1..4 = fill quartiles), optionally crossed with the o3 confidence
@@ -486,6 +531,24 @@ def sse_hit_ctx_of(conf, fill):
     """Hit-flag APM context: conf class (1..3 clipped, -1) x bucket
     availability.  Only meaningful where conf > 0."""
     return (jnp.clip(conf, 1, 3) - 1) * 2 + (fill > 0).astype(_i32)
+
+
+def sse_x_ctx_of(conf, p1):
+    """Mode-X hit-flag APM context: conf class x order-1 byte class
+    (p1 // 16) — both decoder-known before the A symbol (X has no
+    replayable bucket fill).  Probe-ranked best (sse_x_probe.py:
+    conf x p1//16 -1.12% of A bits vs conf x p1//64 -1.05%)."""
+    return (jnp.clip(conf, 1, 3) - 1) * 16 + jnp.clip(p1, 0, 255) // 16
+
+
+def sse_p_ctx_of(conf, avail, p1):
+    """Mode-P hit-flag APM context: conf class x LZP candidate
+    availability x p1 class — all decoder-known before the A symbol
+    (the decoder runs the same _lzp_candidate gather on strictly-earlier
+    bytes).  Probe-ranked best (sse_x_probe.py MODE=P: -1.07% of A)."""
+    return (
+        (jnp.clip(conf, 1, 3) - 1) * 2 + avail.astype(_i32)
+    ) * 4 + jnp.clip(p1, 0, 255) // 64
 
 
 def _apm_read(sse_flat, n_ctx, ctx, p16):
@@ -535,6 +598,27 @@ def _apm_delta(n_ctx, flat, w, t_i, t_ip1, outcome, active):
     )
 
 
+def _hit_reshape(sse_flat, n_ctx, hctx, rowmod, conf):
+    """Shared hit-slot APM reshape (modes R and X): rescale rowmod's
+    SYM_HIT slot to the APM's secondary estimate where conf > 0.
+    Returns (rowmod', hit_state).  Intermediates fit int32 (12-bit
+    probabilities for the mass solve, 16-bit in the table)."""
+    slot_ids = jax.lax.broadcasted_iota(_i32, rowmod.shape, 1)
+    f_h0 = jnp.sum(jnp.where(slot_ids == SYM_HIT, rowmod, 0), axis=1)
+    tot_h = jnp.maximum(tb.row_total(rowmod), 1)
+    p16h = jnp.clip(f_h0 * 4096 // tot_h, 1, 4095) << 4
+    ph, flat_h, w_h, ti_h, tip1_h = _apm_read(sse_flat, n_ctx, hctx, p16h)
+    ph12 = jnp.clip(ph >> 4, 1, 4095)
+    f_h_new = ph12 * (tot_h - f_h0) // (4096 - ph12)
+    f_h_new = jnp.clip(
+        f_h_new, 1, f_h0 + jnp.maximum((1 << 15) - tot_h, 0)
+    )
+    act_h = conf > 0
+    f_h_new = jnp.where(act_h, f_h_new, f_h0)
+    rowmod = jnp.where(slot_ids == SYM_HIT, f_h_new[:, None], rowmod)
+    return rowmod, (flat_h, w_h, ti_h, tip1_h, act_h)
+
+
 def _sse_reshape(t, rowmod, fill, conf=None):
     """Rescale rowmod's HIT slot (SSE_HIT) and SYM_MATCH slot to the
     APMs' secondary estimates.
@@ -549,21 +633,9 @@ def _sse_reshape(t, rowmod, fill, conf=None):
 
     hit_state = None
     if SSE_HIT and conf is not None:
-        f_h0 = jnp.sum(jnp.where(slot_ids == SYM_HIT, rowmod, 0), axis=1)
-        tot_h = jnp.maximum(tb.row_total(rowmod), 1)
-        p16h = jnp.clip(f_h0 * 4096 // tot_h, 1, 4095) << 4
-        ph, flat_h, w_h, ti_h, tip1_h = _apm_read(
-            t["sse_h"], SSE_HCTX, sse_hit_ctx_of(conf, fill), p16h
+        rowmod, hit_state = _hit_reshape(
+            t["sse_h"], SSE_HCTX, sse_hit_ctx_of(conf, fill), rowmod, conf
         )
-        ph12 = jnp.clip(ph >> 4, 1, 4095)
-        f_h_new = ph12 * (tot_h - f_h0) // (4096 - ph12)
-        f_h_new = jnp.clip(
-            f_h_new, 1, f_h0 + jnp.maximum((1 << 15) - tot_h, 0)
-        )
-        act_h = conf > 0
-        f_h_new = jnp.where(act_h, f_h_new, f_h0)
-        rowmod = jnp.where(slot_ids == SYM_HIT, f_h_new[:, None], rowmod)
-        hit_state = (flat_h, w_h, ti_h, tip1_h, act_h)
 
     f_m = jnp.sum(jnp.where(slot_ids == SYM_MATCH, rowmod, 0), axis=1)
     f_h = jnp.sum(jnp.where(slot_ids == SYM_HIT, rowmod, 0), axis=1)
@@ -579,6 +651,26 @@ def _sse_reshape(t, rowmod, fill, conf=None):
     f_new = jnp.clip(f_new, 1, f_m + jnp.maximum((1 << 15) - tot0, 0))
     rowmod = jnp.where(slot_ids == SYM_MATCH, f_new[:, None], rowmod)
     return rowmod, (flat, w, t_i, t_ip1, hit_state)
+
+
+def sse_reshape_hit(t, key, n_ctx, hctx, rowmod, conf):
+    """Hit-only SSE stage (rev 8, modes X and P): rescale the SYM_HIT
+    slot to the APM table ``t[key]``'s estimate under context ``hctx``.
+    The exact-cost probe (benchmarks/sse_x_probe.py) CLOSED the
+    match-flag APM for both modes — every context measured positive
+    (unlike R, whose replayable bucket-fill context carries signal)."""
+    return _hit_reshape(t[key], n_ctx, hctx, rowmod, conf)
+
+
+def sse_update_hit(t, key, n_ctx, state, coding, is_hit):
+    """APM update toward the observed hit flag (modes X and P)."""
+    flat_h, w_h, ti_h, tip1_h, act_h = state
+    t = dict(t)
+    delta = _apm_delta(
+        n_ctx, flat_h, w_h, ti_h, tip1_h, is_hit, coding & act_h
+    )
+    t[key] = jnp.clip(t[key] + delta, SSE_LO, SSE_HI)
+    return t
 
 
 def sse_update(t, state, coding, is_match, is_hit=None):
