@@ -262,6 +262,23 @@ def main():
                 f"({d / bits['A']:+.2%} of A, {d / total:+.2%} of total)"
             )
 
+    # ---- escape flag among the post-hit/match rest mass (the o2 row's
+    # PPMX-estimated escape slot is the third structural flag; an APM on
+    # it has no interaction with the hit/match stages above because the
+    # exact-cost delta composes the same way)
+    f_esc = g["f_esc"][cod]
+    rest_e = np.maximum(tot - f_hit - f_hit2 - f_m, 1)
+    is_esc = sym == 257  # ppm.SYM_ESC
+    totq = np.digitize(tot, [2048, 8192, 20000])  # o2 maturity class
+    ectxs = {
+        "none": np.zeros(sym.size, np.int64),
+        "totq": totq,
+        "totq_x_p1": totq * 4 + p1c,
+        "totq_x_conf": totq * 4 + conf,
+        "p1f": np.minimum(g["p1"][cod], 255) // 16,
+    }
+    run("esc  ", ectxs, f_esc, is_esc, rest_e)
+
     hctxs = {
         "conf": conf - 1,
         "conf_x_rec": (conf - 1) * 5 + recq,
