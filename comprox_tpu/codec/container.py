@@ -255,7 +255,13 @@ def encode_stream(
     once-per-file model reset, src/main.c:174-206) — mutually exclusive
     with mesh/group parallelism and with the static-table 'F' profile;
     stored-fallback blocks leave the chained models untouched (the
-    decoder never models their bytes).
+    decoder never models their bytes).  Under chain_match (crz -C) a
+    stored block does not advance the carry AT ALL: the next coded
+    block's previous-window buffer and bucket table still describe the
+    last CODED block (cross-block matches reach over the stored gap
+    into it), and the stored block's own bytes are never match
+    sources.  Both sides replay this identically — no correctness
+    issue, just forfeited reach around an incompressible block.
     """
     from comprox_tpu.codec import dictionary as dic
 
