@@ -214,3 +214,25 @@ def test_parse_dp_no_candidate_never_wins():
     cw2, (take, src, _idx) = B._parse_body(p, p.capacity, cw, xs, n_c=1)
     assert int(np.asarray(take).max()) == 0, "bogus match with no candidate"
     assert int(np.asarray(cw2).max()) < B._P_INF, "stored cost not saturated"
+
+
+def test_stream_read_strategies_bit_identical():
+    """CPX_STREAM_READ is a pure decode-side performance knob: all three
+    strategies must read the identical words from the identical stream
+    (round-5 lane-sweep infrastructure; PERF.md F2 strategy table)."""
+    import jax
+
+    from comprox_tpu.ops import rans
+
+    data = corpus("text", SMALL_R.lanes * SMALL_R.steps)
+    payload = encode_block(data, SMALL_R)
+    prior = rans.STREAM_READ
+    try:
+        for strat in ("onehot", "sort", "gather"):
+            rans.STREAM_READ = strat
+            jax.clear_caches()  # retrace: the knob binds at trace time
+            out = decode_block(payload, data.size, SMALL_R)
+            np.testing.assert_array_equal(out, data)
+    finally:
+        rans.STREAM_READ = prior
+        jax.clear_caches()
