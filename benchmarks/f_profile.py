@@ -1,12 +1,14 @@
-"""Per-pass timing of the mode-'F' encode/decode pipeline on the default
+"""Per-pass timing of the F2 fast-profile pipeline on the default
 platform — where does the fast profile's wall actually go?
 
-Encode passes timed separately (each jitted + warmed, then timed with
-block_until_ready):
-  1. sort_candidates        (whole-block vector search)
-  2. parse scan             (_parse_body over T steps, reverse)
-  3. full _encode_fast      (1+2 + replay scan + histogram + rANS scan)
-  4. _fast_decode_scan      (the decode while-loop)
+Stages timed separately (each jitted + warmed, then timed with
+block_until_ready; round-4 F2 architecture, codec/fast.py):
+  1. find+parse          (_fast_find_matches: sort finder + parse DP)
+  2. device encode       (_encode_fast: 1 + replay + tokenize +
+                          histogram + reverse rANS window writes)
+  3. full block encode   (encode_block_fast: 2 + host compaction)
+  4. device decode scan  (decode_block_fast_start handles)
+  5. full block decode   (4 + native f2_execute copy resolution)
 
 Usage: python benchmarks/f_profile.py [MB] [LANES]
 """
@@ -45,10 +47,10 @@ def main() -> None:
 
     from bench import build_corpus
     from comprox_tpu.codec import fast
-    from comprox_tpu.codec.block import BlockParams, sort_candidates
+    from comprox_tpu.codec.block import BlockParams
 
     n = int(mb * 1048576)
-    p = BlockParams(lanes=lanes, steps=n // lanes, mode="F")
+    p = BlockParams(lanes=lanes, steps=n // lanes, mode="F", min_len=6)
     data = build_corpus(n)
     buf = np.zeros((p.lanes, p.steps), np.uint8)
     buf.reshape(-1)[:n] = data
@@ -56,53 +58,58 @@ def main() -> None:
     nn = jnp.int32(n)
     inp_flat = inp.reshape(-1)
 
-    sc = jax.jit(
-        functools.partial(
-            sort_candidates,
-            p,
-            n_cands=fast._F_CANDS,
-            ext=min(fast._F_EXT, p.window),
-        )
-    )
-    t_sort, _ = timeit(sc, inp_flat, nn)
-    print(f"sort_candidates: {t_sort*1e3:8.1f} ms")
-
     fm = jax.jit(functools.partial(fast._fast_find_matches, p))
     t_fm, _ = timeit(fm, inp_flat, nn)
-    print(f"find+parse:      {t_fm*1e3:8.1f} ms  (parse = {1e3*(t_fm-t_sort):.1f})")
+    print(f"find+parse:     {t_fm*1e3:8.1f} ms", flush=True)
 
-    t_enc, enc_out = timeit(fast._encode_fast, p, inp, nn)
+    t_enc, _ = timeit(
+        functools.partial(fast._encode_fast, p), inp, nn
+    )
     print(
-        f"encode total:    {t_enc*1e3:8.1f} ms  "
-        f"(replay+hist+rans = {1e3*(t_enc-t_fm):.1f})  "
-        f"-> {n/t_enc/1e6:.2f} MB/s"
+        f"device encode:  {t_enc*1e3:8.1f} ms  "
+        f"(replay+tok+hist+rans = {1e3*(t_enc-t_fm):.1f})",
+        flush=True,
     )
 
-    a_freq, l_freq, states, emitp, words = enc_out
-    emit = np.unpackbits(
-        np.asarray(emitp), axis=-1, bitorder="little"
-    ).astype(bool)
-    stream_np = np.asarray(words)[emit]
-    stream = np.zeros((p.stream_pad,), np.uint16)
-    stream[: stream_np.size] = stream_np
-    t_dec, dec_out = timeit(
-        fast._fast_decode_scan,
-        p,
-        a_freq,
-        l_freq,
-        states,
-        jnp.asarray(stream),
-        nn,
-    )
-    x, base, out = dec_out
-    ok = bool((np.asarray(out).reshape(-1)[:n] == data).all())
+    def full_enc(d):
+        return fast.encode_block_fast(d, p)
+
+    t0 = time.time()
+    payload = full_enc(data)
+    t_cold = time.time() - t0
+    t0 = time.time()
+    payload = full_enc(data)
+    t_full = time.time() - t0
     print(
-        f"decode scan:     {t_dec*1e3:8.1f} ms  -> {n/t_dec/1e6:.2f} MB/s  "
-        f"({t_dec/p.steps*1e6:.1f} us/step)  roundtrip={'OK' if ok else 'FAIL'}"
+        f"block encode:   {t_full*1e3:8.1f} ms  (host share = "
+        f"{1e3*(t_full-t_enc):.1f})  -> {n/t_full/1e6:.2f} MB/s  "
+        f"[cold {t_cold*1e3:.0f}]",
+        flush=True,
     )
+
+    def dec_scan(pl):
+        # started[5] = the _fast_decode_scan device handles
+        return jax.block_until_ready(
+            fast.decode_block_fast_start(pl, n, p)[5]
+        )
+
+    dec_scan(payload)
+    t0 = time.time()
+    for _ in range(3):
+        dec_scan(payload)
+    t_scan = (time.time() - t0) / 3
+    t0 = time.time()
+    out = fast.decode_block_fast(payload, n, p)
+    t_dec = time.time() - t0
+    ok = bool((out == data).all())
     print(
-        f"stream words={stream_np.size}  bpb={(16*stream_np.size + 32*lanes + 8*fast._TAB_BYTES)/n:.4f}"
+        f"decode scan:    {t_scan*1e3:8.1f} ms\n"
+        f"block decode:   {t_dec*1e3:8.1f} ms  (host executor share = "
+        f"{1e3*(t_dec-t_scan):.1f})  -> {n/t_dec/1e6:.2f} MB/s  "
+        f"roundtrip={'OK' if ok else 'FAIL'}",
+        flush=True,
     )
+    print(f"payload {len(payload)} B ({len(payload)*8/n:.4f} bpb)")
 
 
 if __name__ == "__main__":
