@@ -652,12 +652,22 @@ def _slice_prefix(arr, b: int):
 
 
 def _fetch_prefix(arr, k: int) -> np.ndarray:
-    """Fetch arr[:k] with power-of-two bucketing so the slice op compiles
-    once per bucket, not once per block."""
+    """Fetch arr[:k] with geometric bucketing so the slice op compiles
+    once per bucket, not once per block.  Quarter-steps between powers
+    of two cap the overshoot at 25% (power-of-two buckets wasted up to
+    2x of the device->host transfer, which dominates F2 decode wall on
+    a slow link — the 8 MiB token plane is the single largest fetch)."""
     if k <= 0:
         return np.zeros((0,), np.asarray(arr[:0]).dtype)
     cap = arr.shape[0]
-    b = min(1 << max(12, int(k - 1).bit_length()), cap)
+    p2 = 1 << max(12, int(k - 1).bit_length())
+    b = p2
+    for num in (5, 6, 7):  # 1.25x / 1.5x / 1.75x of the next-lower pow2
+        c = (p2 // 8) * num
+        if c >= k:
+            b = c
+            break
+    b = min(b, cap)
     return np.asarray(_slice_prefix(arr, b))[:k]
 
 
