@@ -30,7 +30,7 @@ _U32 = jnp.uint32
 # stream layout, so it is NOT format-relevant (not fingerprinted).
 import os as _os
 
-STREAM_READ = _os.environ.get("CPX_STREAM_READ", "onehot")
+STREAM_READ = _os.environ.get("CPX_STREAM_READ", "auto")
 
 
 def identity_cf(shape):
@@ -110,8 +110,10 @@ def stream_window_read(win, need, off):
     once per step with a scalar-start ``dynamic_slice`` and each slot's
     per-lane reads resolve without per-lane serialized gathers
     (~0.28us/index on TPU, PERF.md).  Three bit-identical strategies,
-    selected by ``CPX_STREAM_READ`` (same stream format either way; the
-    lane-sweep in PERF.md picks the default):
+    selected by ``CPX_STREAM_READ`` (same stream format either way;
+    default ``auto`` = onehot below 1024 lanes, gather at >= 1024 — the
+    round-5 lane sweep in PERF.md: onehot's [S, S] term wins small S,
+    gather's flat marginal cost removes the S^2 cliff at high S):
 
     - ``onehot``: exact one-hot f32 matvec, [S, S] work per call —
       quadratic in lanes, the measured S=512 winner of round 3.
@@ -134,7 +136,10 @@ def stream_window_read(win, need, off):
         acc = acc + jnp.pad(acc, (k, 0))[:s]
         k *= 2
     idx = (off + acc - inc).astype(jnp.int32)
-    if STREAM_READ == "sort":
+    strategy = STREAM_READ
+    if strategy == "auto":
+        strategy = "onehot" if s < 1024 else "gather"
+    if strategy == "sort":
         lane = _jax.lax.broadcasted_iota(jnp.int32, (s,), 0)
         rk = (acc - inc).astype(jnp.int32)  # 0..m-1 on needing lanes
         rank = jnp.where(need, rk, jnp.int32(s) + lane)
@@ -148,7 +153,7 @@ def stream_window_read(win, need, off):
             (lane_by_rank, w_by_rank.astype(jnp.int32)), num_keys=1
         )
         w = jnp.where(need, w, 0).astype(_U32)
-    elif STREAM_READ == "gather":
+    elif strategy == "gather":
         # idx is nondecreasing across ALL lanes (excl increments only on
         # need) and < win size even on trailing non-needing lanes
         w = jnp.take(win, idx, indices_are_sorted=True).astype(_U32)

@@ -228,7 +228,7 @@ def test_stream_read_strategies_bit_identical():
     payload = encode_block(data, SMALL_R)
     prior = rans.STREAM_READ
     try:
-        for strat in ("onehot", "sort", "gather"):
+        for strat in ("onehot", "sort", "gather", "auto"):
             rans.STREAM_READ = strat
             jax.clear_caches()  # retrace: the knob binds at trace time
             out = decode_block(payload, data.size, SMALL_R)
